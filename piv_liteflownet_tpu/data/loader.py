@@ -1,0 +1,142 @@
+"""Host -> device feeding: threaded decode + double-buffered prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=8, pin_memory=True)``
+(reference ``run.py:155``, ``trainer.py:305-310``) with a JAX-native pipeline:
+a thread pool decodes/collates numpy batches while ``PrefetchLoader`` keeps
+``prefetch`` batches already transferred to device memory, so the accelerator
+never waits on PIL/h5py. Augmentation does NOT happen here — it runs on device
+inside the jitted train step (see ``data/transforms.py``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+try:  # optional native decode acceleration (C++ loader, built separately)
+    from piv_liteflownet_tpu.data import _native_loader  # noqa: F401
+except Exception:  # pragma: no cover
+    _native_loader = None
+
+
+def _collate(samples):
+    """Stack a list of dataset samples into batch arrays.
+
+    Supports ((img1, img2), name) inference samples and
+    ((img1, img2), flow) training samples.
+    """
+    firsts, seconds, metas = [], [], []
+    for (i1, i2), meta in samples:
+        firsts.append(i1)
+        seconds.append(i2)
+        metas.append(meta)
+    im1 = np.stack(firsts)
+    im2 = np.stack(seconds)
+    if isinstance(metas[0], np.ndarray):
+        metas = np.stack(metas)
+    return (im1, im2), metas
+
+
+class BatchLoader:
+    """Sequential batched loader with threaded sample decode.
+
+    Yields ``((im1[B,H,W,3], im2[B,H,W,3]), metas)``. The final partial batch
+    is emitted as-is (shape bucketing / padding is the caller's choice).
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, num_workers: int = 4,
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        self._epoch += 1
+        bs = self.batch_size
+        batches = [idx[i : i + bs] for i in range(0, len(idx), bs)]
+        if self.drop_last and batches and len(batches[-1]) < bs:
+            batches.pop()
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # Pipeline: keep 2 batches of futures in flight.
+            pending = []
+            bi = 0
+
+            def submit(batch_idx):
+                return [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
+
+            while bi < len(batches) or pending:
+                while bi < len(batches) and len(pending) < 2:
+                    pending.append(submit(batches[bi]))
+                    bi += 1
+                futs = pending.pop(0)
+                yield _collate([f.result() for f in futs])
+
+
+class PrefetchLoader:
+    """Wrap an iterator of numpy batches; keep ``prefetch`` batches on device.
+
+    The JAX answer to pinned-memory prefetch: ``jax.device_put`` happens on a
+    background thread (optionally with a target ``Sharding`` for multi-chip
+    data parallelism) while the main thread consumes already-resident arrays.
+    """
+
+    def __init__(self, inner: Iterable, prefetch: int = 2, sharding=None):
+        self.inner = inner
+        self.prefetch = prefetch
+        self.sharding = sharding
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        import jax
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def put(x):
+            if not isinstance(x, np.ndarray) or x.dtype == object:
+                return x  # names / metadata stay on host
+            if self.sharding is not None:
+                return jax.device_put(x, self.sharding)
+            return jax.device_put(x)
+
+        def producer():
+            try:
+                for batch in self.inner:
+                    q.put(jax.tree.map(put, batch))
+            except Exception as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

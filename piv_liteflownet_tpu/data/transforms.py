@@ -1,0 +1,240 @@
+"""Device-side augmentation: the reference's transform pipeline, fused.
+
+The reference augments on host with PIL/scipy and module-level ``random``
+(reference ``src/flow_transforms.py``). TPU-first redesign: the default
+pipeline Translate -> Scale -> HFlip -> VFlip -> RandomCrop (reference
+``src/datasets.py:568-607``) is *one affine coordinate map* per sample, so we
+compose it and execute a single bilinear gather per image (+ one for the flow)
+at the static crop resolution — batched, keyed-PRNG, fully inside jit. No
+dynamic shapes ever materialize.
+
+Component semantics preserved:
+- Translate(t%): img1/img2 shifted oppositely, flow += (tw, th)
+  (reference ``src/flow_transforms.py:126-169``).
+- Scale(s): images resized, flow resampled and u *= sw, v *= sh
+  (reference ``:235-282``).
+- H/V flip: mirror + negate u/v (reference ``:380-401``).
+- Crop rand/center (reference ``:285-377``).
+- Photometric: shared per-sample contrast/brightness/color/gamma/noise,
+  ``clamp((im*(c+1)+b)*color)^(1/gamma) + noise``
+  (reference ``:35-86``; the noise std is drawn per *call* here rather than
+  once at construction, which is the evident intent of the original).
+- GaussianBlur(radius, p=0.5) as a separable conv (reference ``:89-104``).
+- Normalize(mean, std) (reference ``:405-435``).
+- RandomRotate via the same gather machinery + flow rotation correction
+  (reference ``:172-232``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Photometric:
+    noise_std_range: Tuple[float, float] = (0.0, 0.0)
+    contrast_range: Tuple[float, float] = (0.0, 0.0)
+    brightness_sigma: float = 0.0
+    color_range: Tuple[float, float] = (1.0, 1.0)
+    gamma_range: Tuple[float, float] = (1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Pipeline:
+    crop_size: Tuple[int, int] = (256, 256)
+    crop_type: str = "rand"  # or "center"
+    translate: int = 0  # percent of each dim, like reference RandomTranslate
+    scale_range: Optional[Tuple[float, float]] = None
+    rotate: float = 0.0  # max |angle| degrees
+    rotate_diff: float = 0.0
+    hflip: bool = False
+    vflip: bool = False
+    photometric: Optional[Photometric] = None
+
+
+def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Gather img[y, x] bilinearly with edge clamping. img [H,W,C]; x,y [h,w]."""
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    flat = img.reshape(h * w, -1)
+
+    def g(yy, xx):
+        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(*x.shape, -1)
+
+    return (
+        g(y0, x0) * (1 - wx) * (1 - wy)
+        + g(y0, x1) * wx * (1 - wy)
+        + g(y1, x0) * (1 - wx) * wy
+        + g(y1, x1) * wx * wy
+    )
+
+
+def _sample_geometry(key, pipe: Pipeline, h: int, w: int):
+    """Draw all geometric random factors for one sample."""
+    ks = jax.random.split(key, 8)
+    ch, cw = pipe.crop_size
+
+    # translation in pixels (percent of dims, reference :148-150)
+    if pipe.translate:
+        tw = jnp.floor(
+            jax.random.uniform(ks[0], (), minval=-pipe.translate, maxval=pipe.translate) * w / 100.0
+        )
+        th = jnp.floor(
+            jax.random.uniform(ks[1], (), minval=-pipe.translate, maxval=pipe.translate) * h / 100.0
+        )
+    else:
+        tw = th = jnp.zeros(())
+
+    if pipe.scale_range is not None:
+        s = jax.random.uniform(ks[2], (), minval=pipe.scale_range[0], maxval=pipe.scale_range[1])
+    else:
+        s = jnp.ones(())
+
+    fh = jax.random.bernoulli(ks[3]) if pipe.hflip else jnp.array(False)
+    fv = jax.random.bernoulli(ks[4]) if pipe.vflip else jnp.array(False)
+
+    # post-scale valid extent: scaled translated image must contain the crop
+    sw = (w - jnp.abs(tw)) * s
+    sh = (h - jnp.abs(th)) * s
+    max_ox = jnp.maximum(sw - cw, 0.0)
+    max_oy = jnp.maximum(sh - ch, 0.0)
+    if pipe.crop_type == "rand":
+        ox = jax.random.uniform(ks[5], ()) * max_ox
+        oy = jax.random.uniform(ks[6], ()) * max_oy
+    else:
+        ox, oy = max_ox / 2.0, max_oy / 2.0
+
+    if pipe.rotate:
+        ang = jax.random.uniform(ks[7], (), minval=-pipe.rotate, maxval=pipe.rotate)
+    else:
+        ang = jnp.zeros(())
+    return dict(tw=tw, th=th, s=s, fh=fh, fv=fv, ox=ox, oy=oy, ang=ang)
+
+
+def _augment_one(key, img1, img2, flow, pipe: Pipeline):
+    """Apply the fused geometric + photometric pipeline to one sample."""
+    h, w = img1.shape[0], img1.shape[1]
+    ch, cw = pipe.crop_size
+    kg, kp = jax.random.split(key)
+    geo = _sample_geometry(kg, pipe, h, w)
+    tw, th, s = geo["tw"], geo["th"], geo["s"]
+
+    # output crop grid
+    xo = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
+    yo = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+    # flips mirror the output grid (flow components negated below)
+    xo = jnp.where(geo["fh"], cw - 1.0 - xo, xo)
+    yo = jnp.where(geo["fv"], ch - 1.0 - yo, yo)
+    # crop offset, then inverse-scale (half-pixel convention), then rotation
+    xs = (xo + geo["ox"] + 0.5) / s - 0.5
+    ys = (yo + geo["oy"] + 0.5) / s - 0.5
+    if pipe.rotate:
+        rad = geo["ang"] * math.pi / 180.0
+        cx = (w - jnp.abs(tw)) / 2.0
+        cy = (h - jnp.abs(th)) / 2.0
+        ca, sa = jnp.cos(rad), jnp.sin(rad)
+        xr = ca * (xs - cx) - sa * (ys - cy) + cx
+        yr = sa * (xs - cx) + ca * (ys - cy) + cy
+        xs, ys = xr, yr
+    # translate offsets: img1 window starts at a=(max(0,tw),max(0,th)),
+    # img2 at b=(max(0,-tw),max(0,-th))  (reference :158-162)
+    ax = jnp.maximum(0.0, tw)
+    ay = jnp.maximum(0.0, th)
+    bx = jnp.maximum(0.0, -tw)
+    by = jnp.maximum(0.0, -th)
+
+    out1 = _bilinear_sample(img1, xs + ax, ys + ay)
+    out2 = _bilinear_sample(img2, xs + bx, ys + by)
+
+    new_flow = None
+    if flow is not None:
+        f = _bilinear_sample(flow, xs + ax, ys + ay)
+        f = f + jnp.stack([tw, th])  # translate offset (reference :166-168)
+        f = f * s  # scale rescales u, v (reference resize_flow contract)
+        if pipe.rotate:
+            ca, sa = jnp.cos(rad), jnp.sin(rad)
+            u = ca * f[..., 0] + sa * f[..., 1]
+            v = -sa * f[..., 0] + ca * f[..., 1]
+            f = jnp.stack([u, v], -1)
+        sign_u = jnp.where(geo["fh"], -1.0, 1.0)
+        sign_v = jnp.where(geo["fv"], -1.0, 1.0)
+        new_flow = f * jnp.stack([sign_u, sign_v])
+
+    if pipe.photometric is not None:
+        ph = pipe.photometric
+        kk = jax.random.split(kp, 5)
+        contrast = jax.random.uniform(kk[0], (), minval=ph.contrast_range[0], maxval=ph.contrast_range[1])
+        gamma = jax.random.uniform(kk[1], (), minval=ph.gamma_range[0], maxval=ph.gamma_range[1])
+        color = jax.random.uniform(kk[2], (3,), minval=ph.color_range[0], maxval=ph.color_range[1])
+        brightness = jax.random.normal(kk[3], ()) * ph.brightness_sigma
+        noise_std = jax.random.uniform(
+            kk[4], (), minval=ph.noise_std_range[0], maxval=ph.noise_std_range[1]
+        )
+        knoise = jax.random.fold_in(kk[4], 1)
+
+        def photo(im, sub):
+            im = jnp.clip((im * (contrast + 1.0) + brightness) * color, 0.0, 1.0)
+            im = jnp.power(im, 1.0 / gamma)
+            return im + jax.random.normal(jax.random.fold_in(knoise, sub), im.shape) * noise_std
+
+        out1 = photo(out1, 0)
+        out2 = photo(out2, 1)
+
+    return out1, out2, new_flow
+
+
+def apply_pipeline(key, img1, img2, flow, pipe: Pipeline):
+    """Batched augmentation: img1/img2 [B,H,W,3], flow [B,H,W,2] or None.
+
+    Returns cropped/augmented ([B,ch,cw,3], [B,ch,cw,3], [B,ch,cw,2]).
+    Jit-compatible (use with a static ``pipe``).
+    """
+    b = img1.shape[0]
+    keys = jax.random.split(key, b)
+    if flow is None:
+        fn = lambda k, a, c: _augment_one(k, a, c, None, pipe)[:2]
+        return jax.vmap(fn)(keys, img1, img2)
+    fn = lambda k, a, c, f: _augment_one(k, a, c, f, pipe)
+    return jax.vmap(fn)(keys, img1, img2, flow)
+
+
+def gaussian_blur(img: jax.Array, radius: float = 2.0) -> jax.Array:
+    """PIL-style Gaussian blur (separable conv), NHWC batched."""
+    sigma = radius
+    r = max(1, int(2 * sigma))
+    xs = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    kh = jnp.asarray(k).reshape(-1, 1, 1, 1)
+    kw = jnp.asarray(k).reshape(1, -1, 1, 1)
+    c = img.shape[-1]
+    from jax import lax
+
+    def dw(x, kern, pad_h, pad_w):
+        return lax.conv_general_dilated(
+            x, jnp.tile(kern, (1, 1, 1, c)), (1, 1),
+            [(pad_h, pad_h), (pad_w, pad_w)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+
+    return dw(dw(img, kh, r, 0), kw, 0, r)
+
+
+def normalize(img: jax.Array, mean, std) -> jax.Array:
+    """(im - mean) / std per channel (reference ``src/flow_transforms.py:405-435``)."""
+    return (img - jnp.asarray(mean, img.dtype)) / jnp.asarray(std, img.dtype)

@@ -1,0 +1,199 @@
+"""Inference engine: the ``estimate()`` contract + batched TPU pipeline.
+
+Contract parity with reference ``inference.py:30-67``:
+1. both frames are bilinearly resized (align_corners=False) to the next
+   multiple of 32,
+2. one eval-mode forward produces the final scaled flow,
+3. the flow is resized back to the input size with u scaled by W_in/W_32 and
+   v by H_in/H_32,
+4. returns HWC float32 numpy (or the device array).
+
+TPU-first differences: the resize -> forward -> resize-back -> rescale chain
+is ONE jitted program (no host round-trips mid-pipeline), it is batched
+(B image pairs per step instead of the reference's DataLoader(bs=1)), and
+input dtype/layout is NHWC.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from piv_liteflownet_tpu.models.factory import Model
+from piv_liteflownet_tpu.models.liteflownet import forward
+from piv_liteflownet_tpu.ops.resize import resize_bilinear
+from piv_liteflownet_tpu.utils.flow_io import flowname_modifier, write_flow
+
+
+def _adaptive_size(h: int, w: int, mult: int = 32) -> Tuple[int, int]:
+    return int(math.ceil(h / mult) * mult), int(math.ceil(w / mult) * mult)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "out_h", "out_w", "precision")
+)
+def _estimate_jit(params, img1, img2, cfg, out_h, out_w, precision):
+    """resize-to-/32 -> forward -> resize-back -> rescale, fully fused."""
+    in_h, in_w = img1.shape[1], img1.shape[2]
+    ah, aw = _adaptive_size(in_h, in_w)
+    x1 = resize_bilinear(img1, ah, aw, precision)
+    x2 = resize_bilinear(img2, ah, aw, precision)
+    flow = forward(params, x1, x2, cfg, train=False, precision=precision)
+    flow = resize_bilinear(flow, out_h, out_w, precision)
+    scale = jnp.asarray([in_w / aw, in_h / ah], flow.dtype)
+    return flow * scale
+
+
+def estimate(
+    model: Model,
+    img1,
+    img2,
+    tensor: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Estimate flow for one pair or a batch of pairs.
+
+    img1/img2: [H, W, 3] or [B, H, W, 3], float32 in [0, 1] (NHWC).
+    Returns [H, W, 2] numpy (single pair, ``tensor=False``) or the
+    [B, H, W, 2] device array (``tensor=True`` or batched input).
+    """
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    single = img1.ndim == 3
+    if single:
+        img1, img2 = img1[None], img2[None]
+    assert img1.shape == img2.shape, "both frames must have the same shape"
+    in_h, in_w = img1.shape[1], img1.shape[2]
+    flow = _estimate_jit(model.params, img1, img2, model.cfg, in_h, in_w, precision)
+    if tensor or not single:
+        return flow
+    return np.asarray(flow[0])
+
+
+class Inference:
+    """Directory / sequence / video inference driver.
+
+    Mirrors the reference ``Inference`` class surface (reference
+    ``inference.py:70-213``): ``images_parsing``, ``dataloader_parsing``,
+    ``video_parsing``, ``parser`` — backed by the batched pipeline above.
+    """
+
+    def __init__(self, model: Model, netname: Optional[str] = None,
+                 output_dir: str = "./outputs", batch_size: int = 1):
+        self.netname = (
+            "test" if netname is None else os.path.splitext(os.path.basename(netname))[0]
+        )
+        self.default = os.path.join(output_dir, self.netname)
+        self.model = model
+        self.batch_size = batch_size
+
+    # -- static single-pair parser (reference inference.py:202-213)
+    @staticmethod
+    def parser(model: Model, im1, im2):
+        a1 = np.asarray(im1, np.float32)
+        a2 = np.asarray(im2, np.float32)
+        if a1.max() > 1.5:  # 8-bit image -> [0,1] (torchvision ToTensor contract)
+            a1, a2 = a1 / 255.0, a2 / 255.0
+        assert a1.shape == a2.shape
+        return estimate(model, a1, a2)
+
+    def images_parsing(self, imgdir: str, pair: bool = True, write: bool = True) -> List[str]:
+        from PIL import Image
+
+        from piv_liteflownet_tpu.utils.flow_io import image_files_from_folder
+
+        if not os.path.isdir(imgdir):
+            raise ValueError(f"Input directory is NOT found! At {imgdir}")
+        outdir = os.path.join(self.default, os.path.basename(imgdir) + "_parse")
+        os.makedirs(outdir, exist_ok=True)
+
+        out_names = []
+        if pair:
+            for file1 in image_files_from_folder(imgdir, pair=True):
+                fbase, fext = os.path.splitext(file1)
+                file2 = fbase.rsplit("_", 1)[0] + "_img2" + fext
+                if os.path.isfile(file2):
+                    flow = self.parser(
+                        self.model,
+                        Image.open(file1).convert("RGB"),
+                        Image.open(file2).convert("RGB"),
+                    )
+                    out_name = flowname_modifier(file1, outdir, pair=True)
+                    if write:
+                        write_flow(flow, out_name)
+                    out_names.append(out_name)
+        else:
+            files = image_files_from_folder(imgdir, pair=False)
+            for prev_f, curr_f in zip(files[:-1], files[1:]):
+                flow = self.parser(
+                    self.model,
+                    Image.open(prev_f).convert("RGB"),
+                    Image.open(curr_f).convert("RGB"),
+                )
+                out_name = flowname_modifier(prev_f, outdir, pair=False)
+                if write:
+                    write_flow(flow, out_name)
+                out_names.append(out_name)
+        return out_names
+
+    def dataloader_parsing(self, dir: str, pair: bool = True, write: bool = True) -> List[str]:
+        from piv_liteflownet_tpu.data.datasets import Run
+        from piv_liteflownet_tpu.data.loader import BatchLoader
+
+        if not os.path.isdir(dir):
+            raise ValueError(f"Input directory is NOT found! At {dir}")
+        outdir = os.path.join(self.default, os.path.basename(dir) + "_loader")
+        os.makedirs(outdir, exist_ok=True)
+        ds = Run(root=dir, is_pair=pair)
+        out_names = []
+        for (im1, im2), names in BatchLoader(ds, batch_size=self.batch_size):
+            flows = np.asarray(estimate(self.model, im1, im2, tensor=True))
+            for i, name in enumerate(names):
+                out_name = flowname_modifier(name, outdir, pair=pair)
+                if write:
+                    write_flow(flows[i], out_name)
+                out_names.append(out_name)
+        return out_names
+
+    def video_parsing(self, vidfile=0, write: bool = True) -> List[str]:
+        """Frame-sequential flow on a video file (reference inference.py:81-128).
+
+        Uses cv2.VideoCapture directly (no imutils dependency); webcam/stream
+        input requires a display-less capture loop.
+        """
+        import cv2
+
+        if isinstance(vidfile, str) and not os.path.isfile(vidfile):
+            raise ValueError(f"Input video file is NOT found! At {vidfile}")
+        window_name = (
+            os.path.splitext(os.path.basename(vidfile))[0]
+            if isinstance(vidfile, str) else "piv_stream"
+        )
+        cap = cv2.VideoCapture(vidfile)
+        outdir = os.path.join(self.default, f"vid_{window_name}")
+        os.makedirs(outdir, exist_ok=True)
+
+        count = 0
+        out_names = []
+        prev = None
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if prev is not None:
+                count += 1
+                flow = self.parser(self.model, prev, frame)
+                out_name = os.path.join(outdir, f"{window_name}_{count:06d}_out.flo")
+                if write:
+                    write_flow(flow, out_name)
+                out_names.append(out_name)
+            prev = frame
+        cap.release()
+        return out_names

@@ -1,0 +1,326 @@
+"""LiteFlowNet / LiteFlowNet2 as pure functions over a flat param pytree.
+
+Architecture parity with reference ``src/models.py:39-717`` (LiteFlowNet,
+Hui 2018; LiteFlowNet2, Hui 2020; PIV variants, Cai 2019/Silitonga 2020), but
+TPU-native:
+
+- NHWC everywhere; convs on the MXU via ``lax.conv_general_dilated``.
+- Params are a flat ``dict[str, jax.Array]`` keyed with the *torch state-dict
+  names* (e.g. ``"NetE_M.3.conv_M.0.weight"``) in JAX layouts (conv: HWIO;
+  depthwise deconv: pre-flipped HWIO). This makes the ``.paramOnly`` weight
+  converter a pure layout transpose and keeps checkpoints byte-auditable.
+- One jitted forward for the whole coarse-to-fine pyramid: the Python level
+  loop unrolls at trace time (static shapes per level), so XLA fuses
+  warp+correlate+conv chains per level with no host round-trips.
+- The in-place mean subtraction of the reference (``src/models.py:321-323``)
+  is a functional subtract; the backwarp grid cache (``src/models.py:17-27``)
+  is unnecessary under jit.
+
+Pyramid-level bookkeeping matches the reference exactly, including its
+``NetC_ext`` negative-indexing quirk (``src/models.py:353-355``): with
+``lowest_level=1`` there are two ext modules; the list index ``pyr_level - 1``
+maps actual level 2 -> ext[0] and actual level 1 -> ext[-1] = ext[1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from piv_liteflownet_tpu.ops.correlation import correlation
+from piv_liteflownet_tpu.ops.nn import (
+    conv2d,
+    depthwise_deconv4x2,
+    leaky_relu,
+    torch_conv_init,
+    unfold_nhwc,
+)
+from piv_liteflownet_tpu.ops.resize import resize_bilinear
+from piv_liteflownet_tpu.ops.warp import backwarp
+
+Params = Dict[str, jax.Array]
+
+# Per-pyramid-level constants, indexed by ACTUAL level (1..6); index 0 unused.
+KLAST = [0, 7, 7, 5, 5, 3, 3]      # last-conv kernel size of M/S, unfold size of R
+PLAST = [0, 3, 3, 2, 2, 1, 1]      # its padding
+RDIST = [0, 49, 49, 25, 25, 9, 9]  # R distance channels
+FEAT_CH = [0, 32, 32, 64, 96, 128, 192]
+S_IN_CH = [0, 130, 130, 130, 194, 258, 386]
+R_IN_CH = [0, 131, 131, 131, 131, 131, 195]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    version: int = 1  # 1 = LiteFlowNet, 2 = LiteFlowNet2
+    starting_scale: float = 40.0
+    lowest_level: int = 2
+    rgb_mean: Tuple[float, ...] = (
+        0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
+    )
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def levels(self) -> List[int]:
+        """Actual pyramid levels used, low to high (torch ``level2use``)."""
+        return list(range(self.lowest_level, 7))
+
+    def scale_factor(self, level: int) -> float:
+        return float(self.starting_scale) / (2.0 ** level)
+
+
+# ---------------------------------------------------------------------------
+# Parameter shape table (drives init + converter validation)
+# ---------------------------------------------------------------------------
+
+def _conv_entry(name, kh, kw, cin, cout, bias=True, transpose_groups=None, pad=None, stride=1):
+    return dict(
+        name=name, kh=kh, kw=kw, cin=cin, cout=cout, bias=bias,
+        transpose_groups=transpose_groups,
+    )
+
+
+def param_shapes(cfg: ModelConfig) -> List[dict]:
+    """Ordered conv/deconv spec list; order matches torch state-dict order
+    (used by the Caffe positional-rename contract, reference ``convert.py:23-43``)."""
+    specs: List[dict] = []
+    v2 = cfg.version == 2
+
+    # NetC (reference src/models.py:66-116)
+    specs += [
+        _conv_entry("NetC.conv1.0", 7, 7, 3, 32),
+        _conv_entry("NetC.conv2.0", 3, 3, 32, 32),
+        _conv_entry("NetC.conv2.2", 3, 3, 32, 32),
+        _conv_entry("NetC.conv2.4", 3, 3, 32, 32),
+        _conv_entry("NetC.conv3.0", 3, 3, 32, 64),
+        _conv_entry("NetC.conv3.2", 3, 3, 64, 64),
+        _conv_entry("NetC.conv4.0", 3, 3, 64, 96),
+        _conv_entry("NetC.conv4.2", 3, 3, 96, 96),
+        _conv_entry("NetC.conv5.0", 3, 3, 96, 128),
+        _conv_entry("NetC.conv6.0", 3, 3, 128, 192),
+    ]
+    # NetC_ext (one per i in range(lowest_level-1, 2))
+    for j in range(max(0, 2 - (cfg.lowest_level - 1))):
+        specs.append(_conv_entry(f"NetC_ext.{j}.conv_ext.0", 1, 1, 32, 64))
+
+    for i, level in enumerate(cfg.levels):
+        pfx = f"NetE_M.{i}"
+        if level != 6:
+            specs.append(_conv_entry(f"{pfx}.upConv_M", 4, 4, 2, 2, bias=False, transpose_groups=2))
+        if level < 4:
+            specs.append(_conv_entry(f"{pfx}.upCorr_M", 4, 4, 49, 49, bias=False, transpose_groups=49))
+        if not v2:
+            m_chain = [(49, 128), (128, 64), (64, 32), (32, 2)]
+        else:
+            m_chain = [(49, 128), (128, 128), (128, 96), (96, 64), (64, 32), (32, 2)]
+        for ci, (cin, cout) in enumerate(m_chain):
+            k = KLAST[level] if ci == len(m_chain) - 1 else 3
+            specs.append(_conv_entry(f"{pfx}.conv_M.{2 * ci}", k, k, cin, cout))
+
+    for i, level in enumerate(cfg.levels):
+        pfx = f"NetE_S.{i}"
+        if not v2:
+            s_chain = [(S_IN_CH[level], 128), (128, 64), (64, 32), (32, 2)]
+        else:
+            s_chain = [(S_IN_CH[level], 128), (128, 128), (128, 96), (96, 64), (64, 32), (32, 2)]
+        for ci, (cin, cout) in enumerate(s_chain):
+            k = KLAST[level] if ci == len(s_chain) - 1 else 3
+            specs.append(_conv_entry(f"{pfx}.conv_S.{2 * ci}", k, k, cin, cout))
+
+    for i, level in enumerate(cfg.levels):
+        pfx = f"NetE_R.{i}"
+        if level < 5:
+            specs.append(_conv_entry(f"{pfx}.moduleFeat.0", 1, 1, FEAT_CH[level], 128))
+        r_chain = [(R_IN_CH[level], 128), (128, 128), (128, 64), (64, 64), (64, 32), (32, 32)]
+        for ci, (cin, cout) in enumerate(r_chain):
+            specs.append(_conv_entry(f"{pfx}.conv_R.{2 * ci}", 3, 3, cin, cout))
+        k, d = KLAST[level], RDIST[level]
+        if level < 5:
+            specs.append(_conv_entry(f"{pfx}.conv_dist_R.0", k, 1, 32, d))
+            specs.append(_conv_entry(f"{pfx}.conv_dist_R.1", 1, k, d, d))
+        else:
+            specs.append(_conv_entry(f"{pfx}.conv_dist_R.0", k, k, 32, d))
+        specs.append(_conv_entry(f"{pfx}.moduleScaleX", 1, 1, d, 1))
+        specs.append(_conv_entry(f"{pfx}.moduleScaleY", 1, 1, d, 1))
+
+    return specs
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Random init matching torch's Conv2d/ConvTranspose2d defaults."""
+    params: Params = {}
+    specs = param_shapes(cfg)
+    keys = jax.random.split(key, len(specs))
+    for spec, k in zip(specs, keys):
+        w, b = torch_conv_init(
+            k, spec["kh"], spec["kw"], spec["cin"], spec["cout"],
+            bias=spec["bias"], transpose_groups=spec["transpose_groups"],
+        )
+        params[spec["name"] + ".weight"] = w.astype(cfg.dtype)
+        if b is not None:
+            params[spec["name"] + ".bias"] = b.astype(cfg.dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _cl(p: Params, name: str, x, stride=1, padding=0, precision=None):
+    """conv + LeakyReLU(0.1)"""
+    return leaky_relu(
+        conv2d(x, p[f"{name}.weight"], p[f"{name}.bias"], stride, padding, precision)
+    )
+
+
+def _c(p: Params, name: str, x, stride=1, padding=0, precision=None):
+    return conv2d(x, p[f"{name}.weight"], p[f"{name}.bias"], stride, padding, precision)
+
+
+def _netc(p: Params, x, precision) -> List[jax.Array]:
+    """NetC 6-level feature pyramid (reference src/models.py:66-116)."""
+    l1 = _cl(p, "NetC.conv1.0", x, 1, 3, precision)
+    l2 = _cl(p, "NetC.conv2.0", l1, 2, 1, precision)
+    l2 = _cl(p, "NetC.conv2.2", l2, 1, 1, precision)
+    l2 = _cl(p, "NetC.conv2.4", l2, 1, 1, precision)
+    l3 = _cl(p, "NetC.conv3.0", l2, 2, 1, precision)
+    l3 = _cl(p, "NetC.conv3.2", l3, 1, 1, precision)
+    l4 = _cl(p, "NetC.conv4.0", l3, 2, 1, precision)
+    l4 = _cl(p, "NetC.conv4.2", l4, 1, 1, precision)
+    l5 = _cl(p, "NetC.conv5.0", l4, 2, 1, precision)
+    l6 = _cl(p, "NetC.conv6.0", l5, 2, 1, precision)
+    return [l1, l2, l3, l4, l5, l6]
+
+
+def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
+    """NetE-M descriptor matching (reference src/models.py:134-187)."""
+    sf = cfg.scale_factor(level)
+    if flow is not None:
+        flow = depthwise_deconv4x2(flow, p[f"{pfx}.upConv_M.weight"], precision)
+        f2 = backwarp(f2, flow * sf)
+
+    if level >= 4:
+        corr = leaky_relu(correlation(f1, f2, 1))
+    else:
+        corr = leaky_relu(correlation(f1, f2, 2))
+        corr = depthwise_deconv4x2(corr, p[f"{pfx}.upCorr_M.weight"], precision)
+
+    x = corr
+    n_convs = 4 if cfg.version == 1 else 6
+    for ci in range(n_convs - 1):
+        x = _cl(p, f"{pfx}.conv_M.{2 * ci}", x, 1, 1, precision)
+    x = _c(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    return x + flow if flow is not None else x
+
+
+def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
+    """NetE-S subpixel refinement (reference src/models.py:190-217)."""
+    sf = cfg.scale_factor(level)
+    f2w = backwarp(f2, flow * sf)
+    x = jnp.concatenate([f1, f2w, flow], axis=-1)
+    n_convs = 4 if cfg.version == 1 else 6
+    for ci in range(n_convs - 1):
+        x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
+    x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    return x + flow
+
+
+def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
+    """NetE-R flow regularization (reference src/models.py:220-303)."""
+    sf = cfg.scale_factor(level)
+    k = KLAST[level]
+
+    rm_flow = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
+    rgb_warp = backwarp(img2, flow * sf)
+    norm = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.sum(jnp.square(img1 - rgb_warp), axis=-1, keepdims=True))
+    )
+
+    if level < 5:
+        feat_r = _cl(p, f"{pfx}.moduleFeat.0", feat1, 1, 0, precision)
+    else:
+        feat_r = feat1
+
+    x = jnp.concatenate([norm, rm_flow, feat_r], axis=-1)
+    for ci in range(6):
+        x = _cl(p, f"{pfx}.conv_R.{2 * ci}", x, 1, 1, precision)
+
+    if level < 5:
+        x = _c(p, f"{pfx}.conv_dist_R.0", x, 1, (PLAST[level], 0), precision)
+        x = _c(p, f"{pfx}.conv_dist_R.1", x, 1, (0, PLAST[level]), precision)
+    else:
+        x = _c(p, f"{pfx}.conv_dist_R.0", x, 1, PLAST[level], precision)
+
+    negsq = -jnp.square(x)
+    dist = jnp.exp(negsq - jnp.max(negsq, axis=-1, keepdims=True))
+    divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
+
+    def smooth(comp, scale_name):
+        patches = unfold_nhwc(flow[..., comp : comp + 1], k)
+        return _c(p, f"{pfx}.{scale_name}", dist * patches, 1, 0, precision) * divisor
+
+    return jnp.concatenate([smooth(0, "moduleScaleX"), smooth(1, "moduleScaleY")], axis=-1)
+
+
+def forward(
+    params: Params,
+    img1: jax.Array,
+    img2: jax.Array,
+    cfg: ModelConfig,
+    train: bool = False,
+    precision=None,
+) -> Union[jax.Array, List[List[jax.Array]]]:
+    """Full coarse-to-fine forward pass.
+
+    img1, img2: [B, H, W, 3] in [0, 1], H and W multiples of 32.
+    Eval: returns final flow [B, H', W', 2] scaled by SCALEFACTOR[1]
+    (H' = H / 2^(lowest_level-1)). Train: per-level [M, S, R] raw flows,
+    coarsest level first (+ LiteFlowNet2: final flow upsampled to input size).
+    Matches reference ``src/models.py:319-370`` / ``:660-716``.
+    """
+    mean = jnp.asarray(cfg.rgb_mean, img1.dtype)
+    x1 = img1 - mean[:3]
+    x2 = img2 - mean[3:]
+    in_h, in_w = x1.shape[1], x1.shape[2]
+
+    feat1 = _netc(params, x1, precision)
+    feat2 = _netc(params, x2, precision)
+
+    # Image pyramid at feature resolutions (list index = actual level - 1).
+    pyr1, pyr2 = [x1], [x2]
+    for li in range(1, 6):
+        h, w = feat1[li].shape[1], feat1[li].shape[2]
+        pyr1.append(resize_bilinear(pyr1[-1], h, w, precision))
+        pyr2.append(resize_bilinear(pyr2[-1], h, w, precision))
+
+    levels = cfg.levels  # low..high actual levels
+    n_ext = max(0, 2 - (cfg.lowest_level - 1))
+
+    flow = None
+    train_out: List[List[jax.Array]] = []
+    for level in reversed(levels):
+        i = level - cfg.lowest_level  # module list index
+        li = level - 1  # feature/pyramid list index
+        if level <= 2:
+            # reference quirk: list idx 1 (level 2) -> ext[0]; idx 0 (level 1) -> ext[-1]
+            ext_idx = 0 if level == 2 else n_ext - 1
+            f1_in = _cl(params, f"NetC_ext.{ext_idx}.conv_ext.0", feat1[li], 1, 0, precision)
+            f2_in = _cl(params, f"NetC_ext.{ext_idx}.conv_ext.0", feat2[li], 1, 0, precision)
+        else:
+            f1_in, f2_in = feat1[li], feat2[li]
+
+        flow_m = _matching(params, f"NetE_M.{i}", cfg, level, f1_in, f2_in, flow, precision)
+        flow_s = _subpixel(params, f"NetE_S.{i}", cfg, level, f1_in, f2_in, flow_m, precision)
+        flow = _regularization(
+            params, f"NetE_R.{i}", cfg, level, pyr1[li], pyr2[li], feat1[li], flow_s, precision
+        )
+        train_out.append([flow_m, flow_s, flow])
+
+    if train:
+        if cfg.version == 2:
+            up = resize_bilinear(flow, in_h, in_w, precision)
+            train_out.append([up])
+        return train_out
+    return flow * cfg.scale_factor(1)

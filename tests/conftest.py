@@ -1,0 +1,22 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+This is the JAX-native way to test multi-chip sharding without hardware
+(SURVEY.md §4): ``--xla_force_host_platform_device_count=8`` gives every test
+an 8-device mesh.
+
+Note: this environment's sitecustomize imports jax at interpreter startup with
+``JAX_PLATFORMS=axon`` (the TPU tunnel), so plain env vars are too late here —
+we override the platform via ``jax.config`` before any backend is initialized
+(backends init lazily on first use).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
