@@ -1,0 +1,106 @@
+"""The jitted training step: forward + multiscale loss + grads + optimizer.
+
+One XLA program per step (the reference's per-batch ``backward()`` /
+``optimizer.step()`` pair plus DataParallel scatter/gather, reference
+``trainer.py:128-140``, collapses into a single SPMD computation). Sharding:
+batch over the mesh ``data`` axis, params/opt-state replicated; XLA emits the
+gradient all-reduce over ICI.
+
+Optionally runs the fused device-side augmentation pipeline *inside* the same
+program, so raw decoded frames stream host->device once and everything else
+stays on chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from piv_liteflownet_tpu.data.transforms import Pipeline, apply_pipeline
+from piv_liteflownet_tpu.models.liteflownet import ModelConfig, forward
+
+Params = Dict[str, jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    loss_obj,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    pipeline: Optional[Pipeline] = None,
+    precision=None,
+    remat: bool = False,
+) -> Callable:
+    """Build ``step(state, img1, img2, target, key) -> (state, metrics)``.
+
+    img1/img2: [B, H, W, 3]; target: [B, H, W, 2] raw (un-divided) flow.
+    With ``pipeline``, augmentation+crop run on device first. With ``mesh``,
+    the step is jitted with batch sharded over the mesh's first axis and the
+    state replicated.
+    """
+
+    fwd = forward
+    if remat:
+        fwd = jax.checkpoint(forward, static_argnums=(3, 4, 5))
+
+    def loss_fn(params, img1, img2, target):
+        out = fwd(params, img1, img2, cfg, True, precision)
+        lossvalue, epevalue = loss_obj(out, target)
+        return lossvalue, epevalue
+
+    def step(state: TrainState, img1, img2, target, key):
+        if pipeline is not None:
+            img1, img2, target = apply_pipeline(key, img1, img2, target, pipeline)
+        (lossvalue, epevalue), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, img1, img2, target
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": lossvalue, "epe": epevalue}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batched, batched, batched, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: ModelConfig, loss_obj, mesh: Optional[Mesh] = None, precision=None):
+    """Validation step: eval-mode forward + loss (reference validation branch,
+    ``trainer.py:110-154``). Returns (loss, epe)."""
+
+    def step(params, img1, img2, target):
+        # eval-mode forward returns the final SCALEFACTOR[1]-scaled flow; the
+        # loss takes its non-list branch (reference src/loss.py:144-148)
+        out = forward(params, img1, img2, cfg, train=False, precision=precision)
+        lossvalue, epevalue = loss_obj(out, target)
+        return {"loss": lossvalue, "epe": epevalue}
+
+    if mesh is None:
+        return jax.jit(step)
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(axis))
+    return jax.jit(step, in_shardings=(repl, batched, batched, batched), out_shardings=repl)

@@ -1,0 +1,138 @@
+"""Training-stack tests: param groups, scheduler, train step, checkpointing."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from piv_liteflownet_tpu.models.factory import piv_liteflownet
+from piv_liteflownet_tpu.parallel.train_step import TrainState, make_eval_step, make_train_step
+from piv_liteflownet_tpu.training.loss import piv_loss
+from piv_liteflownet_tpu.training.optim import (
+    make_optimizer,
+    multistep_lr,
+    param_group_labels,
+    set_group_lrs,
+)
+
+
+def test_param_group_labels_match_reference_rule():
+    """NetE_{M,S,R} modules with pyramid level < 4 -> low-lr group
+    (reference trainer.py:400-419)."""
+    model = piv_liteflownet(version=1)  # lowest_level=1: indices 0,1,2 are levels 1,2,3
+    labels = param_group_labels(model.params, 1)
+    assert labels["NetE_M.0.conv_M.0.weight"] == "w_lo"
+    assert labels["NetE_M.2.conv_M.0.weight"] == "w_lo"  # level 3
+    assert labels["NetE_M.3.conv_M.0.weight"] == "w_hi"  # level 4
+    assert labels["NetE_M.0.conv_M.0.bias"] == "b_lo"
+    assert labels["NetE_R.5.moduleScaleX.bias"] == "b_hi"
+    assert labels["NetC.conv1.0.weight"] == "w_hi"
+    assert labels["NetC_ext.0.conv_ext.0.weight"] == "w_hi"
+    assert labels["NetE_M.0.upConv_M.weight"] == "w_lo"
+
+
+def test_multistep_lr():
+    assert multistep_lr(1e-3, 1, [-1]) == pytest.approx(1e-4)  # reference default quirk
+    assert multistep_lr(1e-3, 5, [10, 20]) == pytest.approx(1e-3)
+    assert multistep_lr(1e-3, 10, [10, 20]) == pytest.approx(1e-4)
+    assert multistep_lr(1e-3, 25, [10, 20], gamma=0.5) == pytest.approx(2.5e-4)
+
+
+def _tiny_setup():
+    model = piv_liteflownet(version=1)
+    tx, labels = make_optimizer(model.params, 1, lr=1e-4)
+    loss_obj = piv_loss(version=1)
+    return model, tx, labels, loss_obj
+
+
+def test_train_step_reduces_loss():
+    model, tx, _, loss_obj = _tiny_setup()
+    step = make_train_step(model.cfg, loss_obj, tx)
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    img2 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    target = jnp.asarray(rng.standard_normal((2, 64, 64, 2)).astype(np.float32))
+    state = TrainState(model.params, tx.init(model.params), jnp.zeros((), jnp.int32))
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, img1, img2, target, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_eval_step_runs():
+    model, tx, _, loss_obj = _tiny_setup()
+    estep = make_eval_step(model.cfg, loss_obj)
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    img2 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    target = jnp.asarray(rng.standard_normal((1, 64, 64, 2)).astype(np.float32))
+    m = estep(model.params, img1, img2, target)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["epe"]))
+
+
+def test_set_group_lrs():
+    model, tx, _, _ = _tiny_setup()
+    opt_state = tx.init(model.params)
+    new_state = set_group_lrs(opt_state, {"w_hi": 5e-4, "b_hi": 5e-4})
+    assert float(new_state.inner_states["w_hi"].inner_state.hyperparams["lr"]) == pytest.approx(5e-4)
+    assert float(new_state.inner_states["w_lo"].inner_state.hyperparams["lr"]) == pytest.approx(6e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from piv_liteflownet_tpu.utils.checkpoint import (
+        load_metadata,
+        restore_checkpoint,
+        save_checkpoint,
+        save_params_npz,
+        load_params_npz,
+    )
+
+    model, tx, _, _ = _tiny_setup()
+    state = {
+        "params": jax.tree.map(np.asarray, model.params),
+        "epoch": np.asarray(7),
+        "best_epe": np.asarray(0.123),
+        "step": np.asarray(70),
+    }
+    path = str(tmp_path / "ckpts")
+    target = save_checkpoint(state, is_best=True, path=path, prefix="LiteFlowNet",
+                             metadata={"arch": "LiteFlowNet", "exp_key": "abc"})
+    assert os.path.isdir(os.path.join(path, "LiteFlowNet_checkpoint"))
+    assert os.path.isdir(os.path.join(path, "LiteFlowNet_model_best"))
+    meta = load_metadata(os.path.join(path, "LiteFlowNet_model_best"))
+    assert meta["exp_key"] == "abc"
+
+    abstract = jax.tree.map(np.zeros_like, state)
+    restored = restore_checkpoint(target, abstract)
+    assert int(restored["epoch"]) == 7
+    np.testing.assert_array_equal(restored["params"]["NetC.conv1.0.weight"],
+                                  state["params"]["NetC.conv1.0.weight"])
+
+    npz = str(tmp_path / "p.npz")
+    save_params_npz(model.params, npz)
+    back = load_params_npz(npz)
+    np.testing.assert_array_equal(np.asarray(back["NetC.conv1.0.bias"]),
+                                  np.asarray(model.params["NetC.conv1.0.bias"]))
+
+
+def test_metrics_logger(tmp_path):
+    from piv_liteflownet_tpu.utils.metrics import Experiment, ExistingExperiment
+
+    exp = Experiment(workdir=str(tmp_path), project_name="t")
+    exp.set_name("run1")
+    exp.log_parameters({"a": 1})
+    exp.log_metric("loss", 0.5, step=1, epoch=1)
+    key = exp.get_key()
+    exp.close()
+
+    exp2 = ExistingExperiment(previous_experiment=key, workdir=str(tmp_path))
+    exp2.log_metric("loss", 0.25, step=2, epoch=1)
+    exp2.close()
+    lines = open(os.path.join(str(tmp_path), key, "metrics.jsonl")).read().strip().splitlines()
+    assert len([l for l in lines if '"loss"' in l]) == 2

@@ -1,0 +1,97 @@
+"""Device-side augmentation pipeline tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from piv_liteflownet_tpu.data.transforms import (
+    Photometric,
+    Pipeline,
+    apply_pipeline,
+    gaussian_blur,
+    normalize,
+)
+
+
+def _pair(h=64, w=80, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random((b, h, w, 3), dtype=np.float32),
+            rng.random((b, h, w, 3), dtype=np.float32),
+            rng.standard_normal((b, h, w, 2)).astype(np.float32))
+
+
+def test_identity_center_crop():
+    img1, img2, flow = _pair()
+    pipe = Pipeline(crop_size=(32, 32), crop_type="center")
+    o1, o2, of = apply_pipeline(jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), pipe)
+    # pure center crop: exact slice of the source
+    np.testing.assert_allclose(np.asarray(o1), img1[:, 16:48, 24:56], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(of), flow[:, 16:48, 24:56], atol=1e-5)
+
+
+def test_output_shapes_and_determinism():
+    img1, img2, flow = _pair()
+    pipe = Pipeline(
+        crop_size=(32, 32), translate=10, scale_range=(0.95, 1.45), hflip=True, vflip=True,
+        photometric=Photometric((0.0, 0.04), (-0.8, 0.4), 0.2, (0.5, 2.0), (0.7, 1.5)),
+    )
+    args = tuple(map(jnp.asarray, (img1, img2, flow)))
+    o1a, o2a, ofa = apply_pipeline(jax.random.PRNGKey(7), *args, pipe)
+    o1b, o2b, ofb = apply_pipeline(jax.random.PRNGKey(7), *args, pipe)
+    assert o1a.shape == (2, 32, 32, 3) and ofa.shape == (2, 32, 32, 2)
+    np.testing.assert_array_equal(np.asarray(o1a), np.asarray(o1b))  # keyed PRNG
+    o1c, _, _ = apply_pipeline(jax.random.PRNGKey(8), *args, pipe)
+    assert np.abs(np.asarray(o1a) - np.asarray(o1c)).max() > 1e-4  # different key
+
+
+def test_flip_negates_flow():
+    """With hflip forced (via key search) flow u must negate and mirror."""
+    img1, img2, flow = _pair(h=32, w=32)
+    pipe = Pipeline(crop_size=(32, 32), crop_type="center", hflip=True)
+    # find keys for both flip outcomes
+    found = {True: None, False: None}
+    for s in range(20):
+        _, _, of = apply_pipeline(jax.random.PRNGKey(s), *map(jnp.asarray, (img1, img2, flow)), pipe)
+        flipped = bool(np.allclose(np.asarray(of)[:, :, :, 0], -flow[:, :, ::-1, 0], atol=1e-5))
+        ident = bool(np.allclose(np.asarray(of), flow, atol=1e-5))
+        if flipped:
+            found[True] = s
+        if ident:
+            found[False] = s
+        if all(v is not None for v in found.values()):
+            break
+    assert found[True] is not None and found[False] is not None
+
+
+def test_translate_offsets_flow():
+    """Translate: flow += (tw, th); img2 sampled from the opposite window."""
+    h = w = 64
+    img1 = np.zeros((1, h, w, 3), np.float32)
+    img2 = np.zeros((1, h, w, 3), np.float32)
+    # constant flow of zeros: after translate, flow should equal (tw, th)
+    flow = np.zeros((1, h, w, 2), np.float32)
+    pipe = Pipeline(crop_size=(32, 32), crop_type="center", translate=20)
+    _, _, of = apply_pipeline(jax.random.PRNGKey(3), *map(jnp.asarray, (img1, img2, flow)), pipe)
+    of = np.asarray(of)
+    # spatially constant integer offset
+    assert np.allclose(of, of[:, :1, :1, :], atol=1e-5)
+    assert np.allclose(of, np.round(of), atol=1e-5)
+
+
+def test_photometric_range_and_sharing():
+    img1, img2, flow = _pair()
+    pipe = Pipeline(crop_size=(32, 32), crop_type="center",
+                    photometric=Photometric((0.0, 0.0), (-0.5, 0.5), 0.0, (0.8, 1.2), (0.8, 1.2)))
+    o1, o2, _ = apply_pipeline(jax.random.PRNGKey(1), *map(jnp.asarray, (img1, img2, flow)), pipe)
+    assert np.asarray(o1).min() >= 0.0 and np.asarray(o1).max() <= 1.0 + 1e-5
+
+
+def test_gaussian_blur_and_normalize():
+    img = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3), dtype=np.float32))
+    blurred = gaussian_blur(img, radius=2.0)
+    assert blurred.shape == img.shape
+    assert float(jnp.var(blurred)) < float(jnp.var(img))  # smoothing reduces variance
+    normed = normalize(img, mean=[0.5, 0.5, 0.5], std=[2.0, 2.0, 2.0])
+    np.testing.assert_allclose(np.asarray(normed), (np.asarray(img) - 0.5) / 2.0, atol=1e-6)
