@@ -26,8 +26,12 @@ SIZE = 1024
 
 
 def bench_once(batch: int, iters: int, dtype=jnp.float32, precision=None):
+    import dataclasses
+
     model = piv_liteflownet(version=1)
     params = jax.tree.map(lambda x: x.astype(dtype), model.params)
+    # default warp path; the window/pallas warps are opt-in (they measure
+    # faster standalone but slower in the fused model — see BASELINE.md)
     cfg = model.cfg
 
     @jax.jit

@@ -61,6 +61,20 @@ class ModelConfig:
         0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
     )
     dtype: jnp.dtype = jnp.float32
+    # Warp implementation ("gather" | "window" | "pallas"):
+    #  - "gather": exact per-pixel gather. TPUs have no hardware gather, so
+    #    this runs ~4 GB/s (67 ms per 1024^2 x 64ch warp) — reference/parity.
+    #  - "window": per-tile base shift + tent-window sum in pure XLA
+    #    (ops/window_warp.py) — ~10 ms/warp, differentiable, exact while the
+    #    in-tile flow variation stays within warp_residual px. Production.
+    #  - "pallas": same algorithm as a VMEM-resident Pallas kernel
+    #    (ops/pallas_warp.py).
+    warp_impl: str = "gather"
+    warp_residual: int = 4
+    warp_tile: int = 128
+    # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
+    # they change semantics — ONLY for attribution profiling, never accuracy.
+    ablate: Tuple[str, ...] = ()
 
     @property
     def levels(self) -> List[int]:
@@ -168,6 +182,28 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _warp(cfg: ModelConfig, img, flow):
+    """Backwarp through the configured implementation (see ModelConfig).
+
+    The result is fenced with an ``optimization_barrier`` so XLA materializes
+    the (expensive) warp once instead of re-fusing it into every downstream
+    consumer tap (the correlation alone has 49 of them).
+    """
+    if "warp" in cfg.ablate:
+        return img
+    if cfg.warp_impl == "window":
+        from piv_liteflownet_tpu.ops.window_warp import backwarp_window
+
+        out = backwarp_window(img, flow, residual=cfg.warp_residual, tile=cfg.warp_tile)
+    elif cfg.warp_impl == "pallas":
+        from piv_liteflownet_tpu.ops.pallas_warp import backwarp_tiled
+
+        out = backwarp_tiled(img, flow, residual=cfg.warp_residual, tile=cfg.warp_tile)
+    else:
+        out = backwarp(img, flow)
+    return jax.lax.optimization_barrier(out)
+
+
 def _cl(p: Params, name: str, x, stride=1, padding=0, precision=None):
     """conv + LeakyReLU(0.1)"""
     return leaky_relu(
@@ -199,13 +235,19 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
     sf = cfg.scale_factor(level)
     if flow is not None:
         flow = depthwise_deconv4x2(flow, p[f"{pfx}.upConv_M.weight"], precision)
-        f2 = backwarp(f2, flow * sf)
+        f2 = _warp(cfg, f2, flow * sf)
 
-    if level >= 4:
+    if "corr" in cfg.ablate:
+        b_, h_, w_, _ = f1.shape
+        corr = jnp.zeros((b_, h_, w_, 49), f1.dtype) + f1[..., :1]
+    elif level >= 4:
         corr = leaky_relu(correlation(f1, f2, 1))
     else:
         corr = leaky_relu(correlation(f1, f2, 2))
-        corr = depthwise_deconv4x2(corr, p[f"{pfx}.upCorr_M.weight"], precision)
+        if "upcorr" not in cfg.ablate:
+            corr = depthwise_deconv4x2(corr, p[f"{pfx}.upCorr_M.weight"], precision)
+        else:
+            corr = jnp.repeat(corr, 2, axis=1).repeat(2, axis=2) if corr.shape[1] * 2 == f1.shape[1] else corr
 
     x = corr
     n_convs = 4 if cfg.version == 1 else 6
@@ -218,7 +260,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
 def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
     """NetE-S subpixel refinement (reference src/models.py:190-217)."""
     sf = cfg.scale_factor(level)
-    f2w = backwarp(f2, flow * sf)
+    f2w = _warp(cfg, f2, flow * sf)
     x = jnp.concatenate([f1, f2w, flow], axis=-1)
     n_convs = 4 if cfg.version == 1 else 6
     for ci in range(n_convs - 1):
@@ -233,7 +275,7 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     k = KLAST[level]
 
     rm_flow = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
-    rgb_warp = backwarp(img2, flow * sf)
+    rgb_warp = _warp(cfg, img2, flow * sf)
     norm = jax.lax.stop_gradient(
         jnp.sqrt(jnp.sum(jnp.square(img1 - rgb_warp), axis=-1, keepdims=True))
     )
@@ -312,10 +354,16 @@ def forward(
             f1_in, f2_in = feat1[li], feat2[li]
 
         flow_m = _matching(params, f"NetE_M.{i}", cfg, level, f1_in, f2_in, flow, precision)
-        flow_s = _subpixel(params, f"NetE_S.{i}", cfg, level, f1_in, f2_in, flow_m, precision)
-        flow = _regularization(
-            params, f"NetE_R.{i}", cfg, level, pyr1[li], pyr2[li], feat1[li], flow_s, precision
-        )
+        if "S" in cfg.ablate:
+            flow_s = flow_m
+        else:
+            flow_s = _subpixel(params, f"NetE_S.{i}", cfg, level, f1_in, f2_in, flow_m, precision)
+        if "R" in cfg.ablate:
+            flow = flow_s
+        else:
+            flow = _regularization(
+                params, f"NetE_R.{i}", cfg, level, pyr1[li], pyr2[li], feat1[li], flow_s, precision
+            )
         train_out.append([flow_m, flow_s, flow])
 
     if train:

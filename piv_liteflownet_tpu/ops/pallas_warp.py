@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: tiled bilinear backwarp without gathers.
+
+TPUs have no hardware gather — the XLA lowering of ``grid_sample``-style
+bilinear sampling moves ~4 GB/s (measured: 67 ms for one 1024^2 x 64ch warp,
+vs 1.7 ms for a 128-ch 3x3 conv at the same size). This kernel replaces the
+per-pixel gather with a TPU-native decomposition:
+
+1. **Per-tile integer base shift.** The flow over each output tile is averaged
+   (computed in XLA as a tile mean, rounded); the input slab for the tile is
+   DMA'd from HBM at that dynamically-offset position (``pl.ds`` with traced
+   scalar starts — the thing BlockSpec index maps cannot express). The x base
+   is quantized to multiples of 8 so the HBM slice start stays provably
+   aligned to the (8, 128) memref tiling; the quantization error (< 8 px) is
+   absorbed into the x residual window.
+2. **Residual tent-window accumulation.** Within the tile the residual
+   displacement is small, so bilinear sampling becomes a short static sum
+   over integer offsets weighted by separable tent functions
+   ``relu(1-|res_x-dx|) * relu(1-|res_y-dy|)`` — exactly the bilinear weights,
+   nonzero only at the true 4 taps. Pure VPU FMAs on VMEM-resident data.
+
+Semantics match ``ops.warp.backwarp`` (grid_sample bilinear, zeros padding,
+align_corners=True pixel math) EXACTLY whenever the per-pixel residual
+``|flow - tile_mean|`` stays within ``residual`` pixels; beyond that the
+residual is clamped (the flow magnitude itself is unbounded — only its
+in-tile variation is windowed). Choose ``residual`` from the physics:
+PIV in-tile flow variation is a few pixels.
+
+Reference behavior being replaced: ``src/models.py:20-35``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _warp_kernel(base_ref, flow_ref, img_ref, out_ref, slab_ref, sem, *,
+                 tile_h: int, tile_w: int, ry: int, rx: int, rx_off: int,
+                 margin: int, c: int):
+    """One output tile. img_ref is the zero-padded full image in ANY/HBM.
+
+    y window: dy in [-ry, ry+1] around the exact integer base_y.
+    x window: dx in [-rx, rx+1] around the 8-quantized base_x; the slab is
+    fetched starting rx_off (>= rx, multiple of 8) columns to the left.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ib = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    base_x = base_ref[0, 0, tj, 0]  # multiple of 8
+    base_y = base_ref[0, 0, tj, 1]
+
+    y0 = ti * tile_h + margin + base_y - ry
+    x0 = tj * tile_w + margin + base_x - rx_off
+    x0 = pl.multiple_of(x0, 8)
+
+    sh = tile_h + 2 * ry + 1
+    sw = _round_up(tile_w + rx_off + rx + 2, 8)
+    dma = pltpu.make_async_copy(
+        img_ref.at[ib, pl.ds(y0, sh), pl.ds(x0, sw), :],
+        slab_ref,
+        sem,
+    )
+    dma.start()
+
+    flow = flow_ref[0].astype(jnp.float32)  # [th, tw, 2]
+    res_u = jnp.clip(flow[:, :, 0] - base_x.astype(jnp.float32), -rx, rx)
+    res_v = jnp.clip(flow[:, :, 1] - base_y.astype(jnp.float32), -ry, ry)
+
+    dma.wait()
+    slab = slab_ref[...]
+
+    acc = jnp.zeros((tile_h, tile_w, c), jnp.float32)
+    for dy in range(2 * ry + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(res_v - (dy - ry)))
+        for dx in range(2 * rx + 2):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(res_u - (dx - rx)))
+            w = (wy * wx)[:, :, None]
+            xs = rx_off - rx + dx
+            acc = acc + w * slab[dy : dy + tile_h, xs : xs + tile_w, :].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("residual", "tile", "interpret"))
+def backwarp_tiled(img: jax.Array, flow: jax.Array, residual: int = 4,
+                   tile: int = 128, interpret: bool = False) -> jax.Array:
+    """Tiled Pallas backwarp. img [B,H,W,C], flow [B,H,W,2] -> [B,H,W,C].
+
+    ``residual``: max in-tile deviation (px) from the tile-mean displacement
+    that stays exact. ``tile``: output tile edge (grid is over tiles).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c_in = img.shape
+    # HBM slices must span whole (8, 128) tiles: pad channels to the lane width
+    c = _round_up(c_in, 128)
+    if c != c_in:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, c - c_in)))
+    th = min(tile, h)
+    tw = min(tile, w)
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+
+    ry = residual
+    rx = residual + 4  # absorbs the x-base 8-quantization error (<= 4)
+    rx_off = _round_up(rx, 8)
+
+    # margin: base shift range + windows; covers tile-mean displacements up
+    # to +-(margin - window - 2). Out-of-image taps read the zero padding
+    # (grid_sample 'zeros' semantics). Multiple of 8 keeps x starts aligned.
+    margin = _round_up(max(2 * rx + 2, 64 + rx + 2), 8)
+    img_pad = jnp.pad(
+        img,
+        ((0, 0), (margin, margin + hp - h + 16), (margin, margin + wp - w + 16), (0, 0)),
+    )
+    if hp != h or wp != w:
+        flow = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+
+    # per-tile integer base displacement, computed in XLA (cheap avg-pool);
+    # x base quantized to multiples of 8 for aligned HBM slices.
+    tile_mean = lax.reduce_window(
+        flow.astype(jnp.float32), 0.0, lax.add, (1, th, tw, 1), (1, th, tw, 1), "VALID"
+    ) / (th * tw)
+    lim = margin - rx_off - 2
+    base = jnp.clip(jnp.round(tile_mean), -lim, lim)
+    base_x = jnp.round(base[..., 0] / 8.0) * 8.0
+    base = jnp.stack([base_x, base[..., 1]], axis=-1).astype(jnp.int32)
+
+    sh = th + 2 * ry + 1
+    sw = _round_up(tw + rx_off + rx + 2, 8)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _warp_kernel, tile_h=th, tile_w=tw, ry=ry, rx=rx, rx_off=rx_off,
+            margin=margin, c=c,
+        ),
+        grid=(b, hp // th, wp // tw),
+        in_specs=[
+            # SMEM blocks need full trailing dims: take the whole tile-row
+            # of base offsets and index the column inside the kernel.
+            pl.BlockSpec((1, 1, wp // tw, 2), lambda ib, i, j: (ib, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, th, tw, 2), lambda ib, i, j: (ib, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded image stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, th, tw, c), lambda ib, i, j: (ib, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), img.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw, c), img.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(base, flow, img_pad)
+    if hp != h or wp != w or c != c_in:
+        out = out[:, :h, :w, :c_in]
+    return out
