@@ -1,0 +1,182 @@
+"""ctypes bindings for the native I/O runtime (libpivio).
+
+The C++ side (``data/_native/pivio.cpp``) provides C-speed ``.flo`` codecs,
+PGM/PPM decode, and a pthread-pool batch loader that keeps a ring of decoded
+float32 NHWC batches ahead of the device feed — the native replacement for
+the reference's DataLoader worker processes (reference ``run.py:155``).
+
+The library is built lazily on first use (g++ is in the base image); all
+entry points degrade gracefully to the Python implementations if the build
+is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_native", "pivio.cpp")
+_LIB_PATH = os.path.join(_HERE, "_native", "libpivio.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def build_library(force: bool = False) -> Optional[str]:
+    """Compile libpivio.so if needed; returns its path or None on failure."""
+    with _lock:
+        if not force and os.path.isfile(_LIB_PATH) and (
+            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+        ):
+            return _LIB_PATH
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+            _SRC, "-o", _LIB_PATH,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+            return _LIB_PATH
+        except Exception:
+            return None
+
+
+def get_lib():
+    """Load (building if necessary) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build_library()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.pivio_flo_read.restype = ctypes.c_int
+    lib.pivio_flo_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.pivio_flo_write.restype = ctypes.c_int
+    lib.pivio_flo_write.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pivio_image_read.restype = ctypes.c_int
+    lib.pivio_image_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.pivio_loader_create.restype = ctypes.c_void_p
+    lib.pivio_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pivio_loader_batches.restype = ctypes.c_long
+    lib.pivio_loader_batches.argtypes = [ctypes.c_void_p]
+    lib.pivio_loader_next.restype = ctypes.c_int
+    lib.pivio_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.pivio_loader_destroy.restype = None
+    lib.pivio_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def _fptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def flo_read(path: str, bands: int = 2) -> np.ndarray:
+    """Native .flo read (same contract as utils.flow_io.read_flow)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("libpivio unavailable")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.pivio_flo_read(path.encode(), None, 0, ctypes.byref(h), ctypes.byref(w), bands)
+    if rc != 0:
+        raise IOError(f"flo_read({path}) failed rc={rc}")
+    out = np.empty((h.value, w.value, bands), np.float32)
+    rc = lib.pivio_flo_read(path.encode(), _fptr(out), out.size,
+                            ctypes.byref(h), ctypes.byref(w), bands)
+    if rc != 0:
+        raise IOError(f"flo_read({path}) failed rc={rc}")
+    return out
+
+
+def flo_write(path: str, flow: np.ndarray) -> None:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("libpivio unavailable")
+    flow = np.ascontiguousarray(flow, np.float32)
+    h, w, bands = flow.shape
+    rc = lib.pivio_flo_write(path.encode(), _fptr(flow), h, w, bands)
+    if rc != 0:
+        raise IOError(f"flo_write({path}) failed rc={rc}")
+
+
+def image_read(path: str) -> np.ndarray:
+    """Native PGM/PPM decode -> float32 RGB HWC in [0, 1]."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("libpivio unavailable")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.pivio_image_read(path.encode(), None, 0, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"image_read({path}) failed rc={rc}")
+    out = np.empty((h.value, w.value, 3), np.float32)
+    rc = lib.pivio_image_read(path.encode(), _fptr(out), out.size,
+                              ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"image_read({path}) failed rc={rc}")
+    return out
+
+
+class NativeBatchLoader:
+    """Threaded native pair loader over PGM/PPM files.
+
+    Yields ``((im1 [B,H,W,3], im2 [B,H,W,3]), names)`` like the Python
+    ``BatchLoader`` (short final batches are trimmed).
+    """
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], batch_size: int,
+                 height: int, width: int, threads: int = 4):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("libpivio unavailable")
+        self._lib = lib
+        self.pairs = list(pairs)
+        self.batch = batch_size
+        self.h, self.w = height, width
+        n = len(self.pairs)
+        self._p1 = (ctypes.c_char_p * n)(*[p[0].encode() for p in self.pairs])
+        self._p2 = (ctypes.c_char_p * n)(*[p[1].encode() for p in self.pairs])
+        self._handle = lib.pivio_loader_create(
+            self._p1, self._p2, n, batch_size, height, width, threads)
+        self.n_batches = lib.pivio_loader_batches(self._handle)
+
+    def __len__(self):
+        return int(self.n_batches)
+
+    def __iter__(self):
+        buf = np.empty((2, self.batch, self.h, self.w, 3), np.float32)
+        for bi in range(self.n_batches):
+            valid = self._lib.pivio_loader_next(self._handle, _fptr(buf))
+            if valid < 0:
+                break
+            names = [p[0] for p in self.pairs[bi * self.batch : bi * self.batch + valid]]
+            yield (buf[0, :valid].copy(), buf[1, :valid].copy()), names
+
+    def close(self):
+        if self._handle:
+            self._lib.pivio_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -63,8 +63,10 @@ def estimate(
     Returns [H, W, 2] numpy (single pair, ``tensor=False``) or the
     [B, H, W, 2] device array (``tensor=True`` or batched input).
     """
-    img1 = jnp.asarray(img1, jnp.float32)
-    img2 = jnp.asarray(img2, jnp.float32)
+    # run in the params' dtype (bf16 fast path stays bf16 end to end)
+    dtype = jnp.result_type(*(jax.tree.leaves(model.params)[:1] or [jnp.float32]))
+    img1 = jnp.asarray(img1, dtype)
+    img2 = jnp.asarray(img2, dtype)
     single = img1.ndim == 3
     if single:
         img1, img2 = img1[None], img2[None]

@@ -69,36 +69,52 @@ def backwarp_window(img: jax.Array, flow: jax.Array, residual: int = 4,
     sh = th + 2 * r + 1
     sw = tw + 2 * r + 1
 
-    def tile_body(_, inputs):
-        idx, f, bs = inputs  # (), [B,th,tw,2], [B,2]
-        ti = idx // ntw
-        tj = idx % ntw
+    # Chunked evaluation: stack `chunk` tiles so the tent-window loop has
+    # enough parallel work per step (a 1-tile scan underutilizes the VPU and
+    # blocks overlap), while bounding the f32 working set (a full stack OOMs
+    # at batch 8: ~2 GB temps).
+    chunk = max(1, min(nt, 8 // max(1, b) * 4 if b <= 8 else 1, 16))
+    while nt % chunk:
+        chunk -= 1
+    nchunks = nt // chunk
 
-        def slab_one(imgp, bx, by):
+    def chunk_body(_, inputs):
+        idxs, f, bs = inputs  # [chunk], [chunk,B,th,tw,2], [chunk,B,2]
+
+        def slab_one(idx1, imgp, bx, by):
+            ti = idx1 // ntw
+            tj = idx1 % ntw
             y0 = ti * th + margin + by - r
             x0 = tj * tw + margin + bx - r
             return lax.dynamic_slice(imgp, (y0, x0, 0), (sh, sw, c))
 
-        slab = jax.vmap(slab_one)(img_pad, bs[:, 0], bs[:, 1])  # [B, sh, sw, C]
-        f = f.astype(jnp.float32)
-        res_u = jnp.clip(f[..., 0] - bs[:, None, None, 0].astype(jnp.float32), -r, r)
-        res_v = jnp.clip(f[..., 1] - bs[:, None, None, 1].astype(jnp.float32), -r, r)
+        # [chunk, B, sh, sw, C]
+        slab = jax.vmap(
+            lambda i1, bx, by: jax.vmap(slab_one, in_axes=(None, 0, 0, 0))(
+                i1, img_pad, bx, by
+            )
+        )(idxs, bs[..., 0], bs[..., 1])
 
-        acc = jnp.zeros((b, th, tw, c), jnp.float32)
+        f = f.astype(jnp.float32)
+        res_u = jnp.clip(f[..., 0] - bs[..., None, None, 0].astype(jnp.float32), -r, r)
+        res_v = jnp.clip(f[..., 1] - bs[..., None, None, 1].astype(jnp.float32), -r, r)
+
+        acc = jnp.zeros((chunk, b, th, tw, c), jnp.float32)
         for dy in range(2 * r + 2):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(res_v - (dy - r)))
             for dx in range(2 * r + 2):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(res_u - (dx - r)))
                 wgt = (wy * wx)[..., None]
                 acc = acc + wgt * lax.slice(
-                    slab, (0, dy, dx, 0), (b, dy + th, dx + tw, c)
+                    slab, (0, 0, dy, dx, 0), (chunk, b, dy + th, dx + tw, c)
                 ).astype(jnp.float32)
         return None, acc.astype(img.dtype)
 
-    _, tiles = lax.scan(
-        tile_body, None,
-        (jnp.arange(nt, dtype=jnp.int32), flow_t, base.transpose(1, 0, 2)),
-    )  # tiles: [nt, B, th, tw, C]
+    idx_all = jnp.arange(nt, dtype=jnp.int32).reshape(nchunks, chunk)
+    flow_c = flow_t.reshape(nchunks, chunk, b, th, tw, 2)
+    base_c = base.transpose(1, 0, 2).reshape(nchunks, chunk, b, 2)
+    _, tiles = lax.scan(chunk_body, None, (idx_all, flow_c, base_c))
+    tiles = tiles.reshape(nt, b, th, tw, c)  # [nt, B, th, tw, C]
 
     out = tiles.reshape(nth, ntw, b, th, tw, c).transpose(2, 0, 3, 1, 4, 5)
     out = out.reshape(b, hp, wp, c)

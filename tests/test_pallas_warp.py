@@ -51,6 +51,12 @@ def test_residual_clamp_degrades_gracefully():
     got = np.asarray(backwarp_tiled(img, flow, residual=3, tile=32, interpret=True))
     ref = np.asarray(backwarp(img, flow))
     assert np.isfinite(got).all()
-    # most pixels (small residual) still match exactly
-    frac_exact = (np.abs(got - ref) < 1e-5).mean()
-    assert frac_exact > 0.5, frac_exact
+    # pixels whose true in-tile residual fits well inside the window stay exact
+    f = np.asarray(flow)
+    tiles = f.reshape(2, 2, 32, 3, 32, 2)
+    mean = np.round(tiles.mean(axis=(2, 4), keepdims=True))
+    res = np.abs(tiles - mean).max(-1)
+    small = (res <= 2.0).reshape(2, 2, 32, 3, 32).transpose(0, 1, 2, 3, 4)
+    small = small.reshape(2, 64, 96)
+    close = np.abs(got - ref).max(-1) < 1e-5
+    assert close[small].mean() > 0.99, close[small].mean()
