@@ -215,6 +215,26 @@ def _c(p: Params, name: str, x, stride=1, padding=0, precision=None):
     return conv2d(x, p[f"{name}.weight"], p[f"{name}.bias"], stride, padding, precision)
 
 
+def _cl_split(p: Params, name: str, parts, padding, precision=None):
+    """conv+LeakyReLU over a channel-concat, as a SUM of per-part convs.
+
+    ``conv(concat(xs), W) == sum_i conv(x_i, W[:, :, off_i:off_i+C_i])`` —
+    used for the S/R first convs whose 130/131-channel concat inputs
+    (reference ``src/models.py:216,280``) would otherwise break the TPU's
+    128-lane alignment (measured ~1.8x conv slowdown). Exact, not an
+    approximation.
+    """
+    w = p[f"{name}.weight"]
+    out = None
+    off = 0
+    for x in parts:
+        ci = x.shape[-1]
+        y = conv2d(x, w[:, :, off : off + ci, :], None, 1, padding, precision)
+        out = y if out is None else out + y
+        off += ci
+    return leaky_relu(out + p[f"{name}.bias"])
+
+
 def _netc(p: Params, x, precision) -> List[jax.Array]:
     """NetC 6-level feature pyramid (reference src/models.py:66-116)."""
     l1 = _cl(p, "NetC.conv1.0", x, 1, 3, precision)
@@ -261,9 +281,11 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
     """NetE-S subpixel refinement (reference src/models.py:190-217)."""
     sf = cfg.scale_factor(level)
     f2w = _warp(cfg, f2, flow * sf)
-    x = jnp.concatenate([f1, f2w, flow], axis=-1)
+    # first conv split per concat part: keeps the feature convs 128-lane
+    # aligned instead of feeding a 130/194/258/386-channel concat
+    x = _cl_split(p, f"{pfx}.conv_S.0", [f1, f2w, flow], 1, precision)
     n_convs = 4 if cfg.version == 1 else 6
-    for ci in range(n_convs - 1):
+    for ci in range(1, n_convs - 1):
         x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
     x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
     return x + flow
@@ -285,8 +307,8 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     else:
         feat_r = feat1
 
-    x = jnp.concatenate([norm, rm_flow, feat_r], axis=-1)
-    for ci in range(6):
+    x = _cl_split(p, f"{pfx}.conv_R.0", [norm, rm_flow, feat_r], 1, precision)
+    for ci in range(1, 6):
         x = _cl(p, f"{pfx}.conv_R.{2 * ci}", x, 1, 1, precision)
 
     if level < 5:
