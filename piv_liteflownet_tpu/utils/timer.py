@@ -31,6 +31,37 @@ class TimerBlock:
             f.write(f"{string}\n")
 
 
+def log_arguments(block: "TimerBlock", args, parser=None) -> None:
+    """Print all parsed arguments, highlighting non-defaults in magenta
+    (reference ``run.py:193-197`` / ``trainer.py:255-259`` colorama contract)."""
+    try:
+        import colorama
+
+        reset = colorama.Style.RESET_ALL
+        magenta = colorama.Fore.MAGENTA
+    except ImportError:  # pragma: no cover
+        reset = magenta = ""
+    defaults = {}
+    if parser is not None:
+        for action in parser._actions:
+            defaults[action.dest] = action.default
+    for argument, value in sorted(vars(args).items()):
+        is_default = argument in defaults and value == defaults[argument]
+        color = reset if is_default else magenta
+        block.log(f"{color}{argument}: {value}{reset}")
+
+
+def set_proc_title(title: str) -> None:
+    """Ops-visibility process title (reference ``trainer.py:298``); no-op when
+    setproctitle isn't installed."""
+    try:  # pragma: no cover
+        import setproctitle
+
+        setproctitle.setproctitle(title)
+    except ImportError:
+        pass
+
+
 class IteratorTimer:
     """Wrap an iterable and record the last fetch latency."""
 

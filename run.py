@@ -138,7 +138,11 @@ def main(argv=None):
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     from piv_liteflownet_tpu.models.factory import hui_liteflownet, piv_liteflownet
-    from piv_liteflownet_tpu.utils.timer import TimerBlock
+    from piv_liteflownet_tpu.utils.timer import TimerBlock, log_arguments, set_proc_title
+
+    set_proc_title(f"piv_liteflownet_tpu.run {args.model}-v{args.version}")
+    with TimerBlock("Parsing Arguments") as block:
+        log_arguments(block, args, build_parser())
 
     with TimerBlock(f"Building '{args.model}' model with backbone version = {args.version}") as block:
         factory = hui_liteflownet if args.model == "hui" else piv_liteflownet

@@ -232,7 +232,12 @@ def main(argv=None):
     from piv_liteflownet_tpu.utils.checkpoint import load_metadata, load_params_npz, restore_checkpoint
     from piv_liteflownet_tpu.utils.timer import TimerBlock
 
+    from piv_liteflownet_tpu.utils.timer import log_arguments, set_proc_title
+
     log_args = {k: v for k, v in sorted(vars(args).items()) if "logger" not in k}
+    set_proc_title(f"piv_liteflownet_tpu.trainer {args.name}")
+    with TimerBlock("Parsing Arguments") as block:
+        log_arguments(block, args, parser)
 
     with TimerBlock("Building {} model".format(args.model)) as block:
         cfg = ModelConfig(
