@@ -26,7 +26,7 @@ import json
 import os
 import pickle
 from glob import glob
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import json
 import os
 import pickle
 from glob import glob
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import functools
 import math
 import os
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Union
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

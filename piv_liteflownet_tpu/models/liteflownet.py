@@ -25,7 +25,7 @@ maps actual level 2 -> ext[0] and actual level 1 -> ext[-1] = ext[1].
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -62,11 +62,15 @@ class ModelConfig:
     )
     dtype: jnp.dtype = jnp.float32
     # Warp implementation ("gather" | "window" | "pallas"):
-    #  - "gather": exact per-pixel gather. TPUs have no hardware gather, so
-    #    this runs ~4 GB/s (67 ms per 1024^2 x 64ch warp) — reference/parity.
+    #  - "gather" (DEFAULT, production): packed 4-tap single-gather —
+    #    TPU gathers are descriptor-bound, so all four bilinear corner taps
+    #    ride one gather of 4C-wide rows (ops/warp.py). Exact grid_sample
+    #    semantics, differentiable, ~20 ms per 1024^2 x 64ch warp (vs 67 ms
+    #    for four naive gathers).
     #  - "window": per-tile base shift + tent-window sum in pure XLA
-    #    (ops/window_warp.py) — ~10 ms/warp, differentiable, exact while the
-    #    in-tile flow variation stays within warp_residual px. Production.
+    #    (ops/window_warp.py) — faster standalone (~10 ms) but slower inside
+    #    the fused model (scan serialization); exact while the in-tile flow
+    #    variation stays within warp_residual px.
     #  - "pallas": same algorithm as a VMEM-resident Pallas kernel
     #    (ops/pallas_warp.py).
     warp_impl: str = "gather"

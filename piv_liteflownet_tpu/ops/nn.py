@@ -10,12 +10,10 @@ the weight converter is a pure layout transpose).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 # Dimension numbers for NHWC activations and HWIO kernels (TPU-native).

@@ -11,7 +11,7 @@ Parity with reference ``stereo/matching.py``:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

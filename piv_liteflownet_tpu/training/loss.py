@@ -9,7 +9,7 @@ LiteFlowNet2's final upsampled flow (reference ``:709-713``).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -73,3 +73,10 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(params, img1, img2)
     assert out.shape == (1, 256, 256, 2)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_dryrun_multichip_integration():
+    """The driver's multichip entry: full DP train step on the 8-CPU mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)  # asserts internally on NaN / device count
