@@ -118,3 +118,20 @@ def test_stereo_cal_cli_non_interactive(tmp_path):
         coeff = json.load(f)
     assert len(coeff["Left"]) == 24 and len(coeff["Right"]) == 24
     assert coeff["calib"] == 0.005
+
+
+def test_evaluate_cli(tmp_path):
+    from piv_liteflownet_tpu.utils.flow_io import write_flow
+
+    evaluate_cli = _load_repo_module("evaluate")
+    indir = str(tmp_path / "ev")
+    _make_pairs(indir, n=2)
+    rng = np.random.default_rng(9)
+    for i in range(2):
+        write_flow(rng.standard_normal((32, 32, 2)).astype(np.float32),
+                   os.path.join(indir, f"p{i:02d}_flow.flo"))
+    save = str(tmp_path / "pred")
+    agg = evaluate_cli.main(["-i", indir, "--model", "piv", "--cpu", "--save", save, "--viz"])
+    assert agg["pairs"] == 2 and np.isfinite(agg["aee"])
+    assert os.path.isfile(os.path.join(save, "p00_out.flo"))
+    assert os.path.isfile(os.path.join(save, "p00_out.png"))
