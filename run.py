@@ -91,9 +91,21 @@ def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1, 
     os.makedirs(savedir, exist_ok=True)
     ds = Run(root=inputdir, is_pair=is_pair, n_images=num_images, start_at=start_id)
     print(f"Processing {len(ds)} pairs of images...")
+    # keep 2 device batches in flight: decode/dispatch overlaps drain+write
+    from collections import deque
+
+    inflight: deque = deque()
     for (im1, im2), names in BatchLoader(ds, batch_size=batch_size):
-        flows = np.asarray(estimate(model, im1, im2, tensor=True))
-        for i, name in enumerate(names):
+        inflight.append((estimate(model, im1, im2, tensor=True), names))
+        if len(inflight) > 2:
+            flows, batch_names = inflight.popleft()
+            flows = np.asarray(flows)
+            for i, name in enumerate(batch_names):
+                write_flow(flows[i], flowname_modifier(name, savedir, pair=False))
+    while inflight:
+        flows, batch_names = inflight.popleft()
+        flows = np.asarray(flows)
+        for i, name in enumerate(batch_names):
             write_flow(flows[i], flowname_modifier(name, savedir, pair=False))
     print(f"Finish processing all images from {inputdir} path!")
 
