@@ -32,7 +32,7 @@ import numpy as np
 
 from piv_liteflownet_tpu.utils.flow_io import read_flow
 
-IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".ppm")
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".ppm", ".pgm")
 
 
 def _load_image(path: str) -> np.ndarray:

@@ -55,16 +55,22 @@ def estimate(
     img1,
     img2,
     tensor: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision="auto",
 ):
     """Estimate flow for one pair or a batch of pairs.
 
     img1/img2: [H, W, 3] or [B, H, W, 3], float32 in [0, 1] (NHWC).
     Returns [H, W, 2] numpy (single pair, ``tensor=False``) or the
     [B, H, W, 2] device array (``tensor=True`` or batched input).
+
+    precision="auto": HIGHEST for f32 params (reference parity), native
+    single-pass MXU for bf16 params (the fast path — HIGHEST on bf16 would
+    upcast every conv and multiply compile size/time).
     """
     # run in the params' dtype (bf16 fast path stays bf16 end to end)
     dtype = jnp.result_type(*(jax.tree.leaves(model.params)[:1] or [jnp.float32]))
+    if precision == "auto":
+        precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     img1 = jnp.asarray(img1, dtype)
     img2 = jnp.asarray(img2, dtype)
     single = img1.ndim == 3

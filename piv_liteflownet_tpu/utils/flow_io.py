@@ -163,7 +163,7 @@ def vertical_flip_flow(flow: np.ndarray) -> np.ndarray:
     return flow
 
 
-def image_files_from_folder(folder: str, pair: bool = True, exts=("jpg", "jpeg", "png", "bmp", "tif", "ppm")):
+def image_files_from_folder(folder: str, pair: bool = True, exts=("jpg", "jpeg", "png", "bmp", "tif", "ppm", "pgm")):
     """List images in a folder; when ``pair`` keep only ``*_img1.*`` files
     (reference ``src/utils_data.py`` contract used by inference)."""
     files = []
