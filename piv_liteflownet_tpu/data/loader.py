@@ -58,6 +58,12 @@ class BatchLoader:
         self.drop_last = drop_last
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle stream to a global epoch number so a resumed run
+        sees the same batch order as an uninterrupted one (the torch analog is
+        ``DistributedSampler.set_epoch``)."""
+        self._epoch = epoch
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

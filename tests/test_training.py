@@ -136,3 +136,82 @@ def test_metrics_logger(tmp_path):
     exp2.close()
     lines = open(os.path.join(str(tmp_path), key, "metrics.jsonl")).read().strip().splitlines()
     assert len([l for l in lines if '"loss"' in l]) == 2
+
+
+def _write_piv_dataset(root, n=4, size=(80, 80)):
+    import json
+
+    from PIL import Image
+
+    from piv_liteflownet_tpu.utils.flow_io import write_flow
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(3)
+    flos = []
+    for i in range(n):
+        base = f"s{i:02d}"
+        for tag in ("img1", "img2"):
+            Image.fromarray((rng.random((*size, 3)) * 255).astype(np.uint8)).save(
+                os.path.join(root, f"{base}_{tag}.png"))
+        write_flow(rng.standard_normal((*size, 2)).astype(np.float32),
+                   os.path.join(root, f"{base}_flow.flo"))
+        flos.append(f"{base}_flow.flo")
+    with open(os.path.join(root, "train_list.json"), "w") as f:
+        json.dump(flos, f)
+
+
+def test_trainer_cli_resume_equivalence(tmp_path):
+    """train(2 epochs) == train(1) + resume(1 more): params AND optimizer
+    moments survive the checkpoint, so the resumed trajectory is the same run
+    (reference trainer.py:160-174,383-396 saves/restores optimizer+scheduler)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("repo_trainer", "/root/repo/trainer.py")
+    trainer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trainer)
+
+    data = str(tmp_path / "data")
+    _write_piv_dataset(data)
+
+    def run(save, total_epochs, resume=""):
+        argv = [
+            "--total_epochs", str(total_epochs), "--batch_size", "2",
+            "--crop_size", "64", "64", "--number_workers", "2",
+            "--number_devices", "1", "--backup_frequency", "1",
+            "--save", save, "--seed", "7",
+            "--training_dataset_root", data,
+            "--validation_dataset_root", str(tmp_path / "noval"),
+            "--logger_workdir", str(tmp_path / "exp"),
+        ]
+        if resume:
+            argv += ["--resume", resume]
+        trainer.main(argv)
+
+    save_a = str(tmp_path / "a")
+    save_b = str(tmp_path / "b")
+    run(save_a, 2)                                          # uninterrupted
+    run(save_b, 1)                                          # first half
+    run(save_b, 2, resume=os.path.join(save_b, "backup_1"))  # resumed half
+
+    from piv_liteflownet_tpu.models.liteflownet import ModelConfig, init_params
+    from piv_liteflownet_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = ModelConfig(version=1, starting_scale=10.0, lowest_level=1)  # CLI defaults
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    tx, _ = make_optimizer(params, cfg.lowest_level)
+    abstract = {"params": params, "opt_state": tx.init(params),
+                "epoch": np.asarray(0), "best_epe": np.asarray(0.0),
+                "step": np.asarray(0)}
+    a = restore_checkpoint(os.path.join(save_a, "backup_2"), abstract)
+    b = restore_checkpoint(os.path.join(save_b, "backup_2"), abstract)
+    assert int(a["epoch"]) == int(b["epoch"]) == 2
+    assert int(a["step"]) == int(b["step"])
+    for k in a["params"]:
+        np.testing.assert_allclose(np.asarray(a["params"][k]), np.asarray(b["params"][k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
+    # Adam second moments must have survived the round trip too
+    ma = jax.tree.leaves(a["opt_state"])
+    mb = jax.tree.leaves(b["opt_state"])
+    assert len(ma) == len(mb)
+    for xa, xb in zip(ma, mb):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=0, atol=1e-6)

@@ -121,39 +121,62 @@ class Train:
     def _epoch(self, key_name: str, epoch: int) -> float:
         import jax
 
+        from piv_liteflownet_tpu.data.loader import PrefetchLoader
         from piv_liteflownet_tpu.parallel.mesh import data_sharding
 
         loader = self.loaders[key_name]
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)  # resume-stable shuffle order
         training = "train" in key_name
         total = 0.0
         n = 0
         shard = data_sharding(self.mesh) if self.mesh is not None else None
-        for batch_idx, ((im1, im2), target) in enumerate(loader):
-            if not training:
-                # center-crop val batches to a /64 size (reference render_size
-                # contract, src/datasets.py:307-315)
-                h, w = im1.shape[1] // 64 * 64, im1.shape[2] // 64 * 64
-                t0, l0 = (im1.shape[1] - h) // 2, (im1.shape[2] - w) // 2
-                im1 = im1[:, t0 : t0 + h, l0 : l0 + w]
-                im2 = im2[:, t0 : t0 + h, l0 : l0 + w]
-                target = target[:, t0 : t0 + h, l0 : l0 + w]
-            if shard is not None:
-                im1 = jax.device_put(im1, shard)
-                im2 = jax.device_put(im2, shard)
-                target = jax.device_put(target, shard)
+
+        def host_batches():
+            for (im1, im2), target in loader:
+                if not training:
+                    # center-crop val batches to a /64 size (reference
+                    # render_size contract, src/datasets.py:307-315)
+                    h, w = im1.shape[1] // 64 * 64, im1.shape[2] // 64 * 64
+                    t0, l0 = (im1.shape[1] - h) // 2, (im1.shape[2] - w) // 2
+                    im1 = im1[:, t0 : t0 + h, l0 : l0 + w]
+                    im2 = im2[:, t0 : t0 + h, l0 : l0 + w]
+                    target = target[:, t0 : t0 + h, l0 : l0 + w]
+                yield (im1, im2), target
+
+        # Double-buffered host->device prefetch: transfers run on a background
+        # thread while the accelerator executes the previous step (the JAX
+        # answer to the reference's pin_memory DataLoader, trainer.py:305-310).
+        batches = (PrefetchLoader(host_batches(), prefetch=2, sharding=shard)
+                   if shard is not None else host_batches())
+
+        # Metric readback is deferred: float(loss) blocks on the step, so
+        # draining it per-batch would serialize host I/O with compute.
+        pending = []  # (batch_idx, device scalar)
+
+        def flush():
+            nonlocal total, n
+            for bi, dev_loss in pending:
+                batch_loss = float(dev_loss)
+                assert batch_loss == batch_loss, "NaN loss"
+                step_count = (epoch - 1) * len(loader) + (bi + 1)
+                self.experiment.log_metric(
+                    "_".join([key_name, "batch", self.loss_label]), batch_loss,
+                    step=step_count, epoch=epoch)
+                total += batch_loss
+                n += 1
+            pending.clear()
+
+        for batch_idx, ((im1, im2), target) in enumerate(batches):
             if training:
                 key = jax.random.PRNGKey(self.args.seed * 100003 + epoch * 1009 + batch_idx)
                 self.state, metrics = self.train_step(self.state, im1, im2, target, key)
             else:
                 metrics = self.eval_step(self.state.params, im1, im2, target)
-            batch_loss = float(metrics["loss"])
-            assert batch_loss == batch_loss, "NaN loss"
-            step_count = (epoch - 1) * len(loader) + (batch_idx + 1)
-            self.experiment.log_metric(
-                "_".join([key_name, "batch", self.loss_label]), batch_loss,
-                step=step_count, epoch=epoch)
-            total += batch_loss
-            n += 1
+            pending.append((batch_idx, metrics["loss"]))
+            if len(pending) >= 16:
+                flush()
+        flush()
         return total / max(n, 1)
 
     def save_model(self, epoch, best_err, is_best, filename=None):
@@ -163,6 +186,9 @@ class Train:
 
         state = {
             "params": jax.tree.map(np.asarray, self.state.params),
+            # full optimizer state (Adam moments + injected per-group lrs) so
+            # resume is bit-faithful (reference trainer.py:160-174,383-396)
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
             "epoch": np.asarray(epoch),
             "best_epe": np.asarray(best_err),
             "step": np.asarray(self.state.step),
@@ -291,14 +317,30 @@ def main(argv=None):
         args.best_err = 1e8
         if args.resume:
             meta = load_metadata(args.resume)
-            abstract = {"params": state.params, "epoch": np.asarray(0),
-                        "best_epe": np.asarray(0.0), "step": np.asarray(0)}
+            abstract = {"params": state.params, "opt_state": state.opt_state,
+                        "epoch": np.asarray(0), "best_epe": np.asarray(0.0),
+                        "step": np.asarray(0)}
             restored = restore_checkpoint(args.resume, abstract)
-            state = TrainState(
-                jax.device_put(restored["params"], replicated(mesh)),
-                state.opt_state, jnp.asarray(restored["step"]))
+            opt_state = jax.device_put(restored["opt_state"], replicated(mesh))
             args.start_epoch = int(restored["epoch"]) + 1
             args.best_err = float(restored["best_epe"])
+            if args.lr_scheduler == "MultiStepLR":
+                # the original run stepped the scheduler AFTER the checkpoint
+                # was written (end of epoch E); re-derive epoch-E group lrs so
+                # epoch E+1 resumes under the same schedule
+                # (reference restores the scheduler state dict,
+                # trainer.py:383-396)
+                from piv_liteflownet_tpu.training.optim import multistep_lr, set_group_lrs
+                e = args.start_epoch - 1
+                lr = multistep_lr(args.optimizer_lr, e,
+                                  args.lr_scheduler_milestones, args.lr_scheduler_gamma)
+                low = multistep_lr(args.optimizer_low_lr, e,
+                                   args.lr_scheduler_milestones, args.lr_scheduler_gamma)
+                opt_state = set_group_lrs(
+                    opt_state, {"w_hi": lr, "b_hi": lr, "w_lo": low, "b_lo": low})
+            state = TrainState(
+                jax.device_put(restored["params"], replicated(mesh)),
+                opt_state, jnp.asarray(restored["step"]))
             block.log(f"Resumed from {args.resume} at epoch {args.start_epoch}")
 
         os.makedirs(args.save, exist_ok=True)
