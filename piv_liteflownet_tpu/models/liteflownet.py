@@ -255,19 +255,34 @@ def _netc(p: Params, x, precision) -> List[jax.Array]:
 
 
 def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
-    """NetE-M descriptor matching (reference src/models.py:134-187)."""
+    """NetE-M descriptor matching (reference src/models.py:134-187).
+
+    At stride-2 levels (<4) the correlation consumes only the even-phase
+    pixels of the warped second map (its taps are all multiples of the
+    stride), so the warp is evaluated ONLY on that stride-2 grid
+    (``backwarp(..., stride=2)``) and the correlation runs stride-1 on the
+    pre-subsampled maps — identical math to warp-then-stride-2-correlate,
+    at 1/4 the gather descriptors.
+    """
     sf = cfg.scale_factor(level)
     if flow is not None:
         flow = depthwise_deconv4x2(flow, p[f"{pfx}.upConv_M.weight"], precision)
-        f2 = _warp(cfg, f2, flow * sf)
 
     if "corr" in cfg.ablate:
         b_, h_, w_, _ = f1.shape
         corr = jnp.zeros((b_, h_, w_, 49), f1.dtype) + f1[..., :1]
     elif level >= 4:
-        corr = leaky_relu(correlation(f1, f2, 1))
+        f2c = _warp(cfg, f2, flow * sf) if flow is not None else f2
+        corr = leaky_relu(correlation(f1, f2c, 1))
     else:
-        corr = leaky_relu(correlation(f1, f2, 2))
+        f1s = jax.lax.optimization_barrier(f1[:, ::2, ::2])
+        if flow is not None and "warp" not in cfg.ablate:
+            f2s = jax.lax.optimization_barrier(
+                backwarp(f2, flow[:, ::2, ::2] * sf, stride=2)
+            )
+        else:
+            f2s = f2[:, ::2, ::2]
+        corr = leaky_relu(correlation(f1s, f2s, 1))
         if "upcorr" not in cfg.ablate:
             corr = depthwise_deconv4x2(corr, p[f"{pfx}.upCorr_M.weight"], precision)
         else:

@@ -24,17 +24,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def backwarp(img: jax.Array, flow: jax.Array) -> jax.Array:
-    """Sample ``img`` at ``(x + u, y + v)`` bilinearly with zeros padding.
+def backwarp(img: jax.Array, flow: jax.Array, stride: int = 1) -> jax.Array:
+    """Sample ``img`` at ``(stride*x + u, stride*y + v)`` bilinearly, zeros padding.
 
     img:  [B, H, W, C]
-    flow: [B, H, W, 2]  (u = flow[..., 0] horizontal, v = flow[..., 1] vertical)
+    flow: [B, ceil(H/stride), ceil(W/stride), 2]  (u horizontal, v vertical)
+
+    ``stride > 1`` evaluates the warp only on the stride-s output grid — the
+    exact subset a stride-s correlation consumes (its taps are multiples of s,
+    reference ``src/correlation.py:58-63``), so warping the other phases would
+    be wasted gather descriptors (the gather is row-count-bound on TPU).
     """
     b, h, w, c = img.shape
     dtype = img.dtype
+    hs, ws = flow.shape[1], flow.shape[2]
 
-    ix = lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    iy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ix = lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * stride
+    iy = lax.broadcasted_iota(jnp.float32, (hs, ws), 0) * stride
     x = ix[None] + flow[..., 0].astype(jnp.float32)
     y = iy[None] + flow[..., 1].astype(jnp.float32)
 
@@ -69,13 +75,13 @@ def backwarp(img: jax.Array, flow: jax.Array) -> jax.Array:
     # corner (0,0) of packed holds imgp[0,0]=0 only if padding... use a safe
     # zero target: the padded border row (yc=0, xc=0) maps to imgp[0..1,0..1]
     # which contains image data at (0,0) tap (11). Mask oob samples instead.
-    flat_idx = (yc * (w + 1) + xc).reshape(b, h * w)
+    flat_idx = (yc * (w + 1) + xc).reshape(b, hs * ws)
     vals = jnp.take_along_axis(
         packed.reshape(b, (h + 1) * (w + 1), 4 * c),
         flat_idx[..., None],
         axis=1,
         mode="promise_in_bounds",
-    ).reshape(b, h, w, 4, c)
+    ).reshape(b, hs, ws, 4, c)
 
     one = jnp.asarray(1, dtype)
     w00 = (one - wx) * (one - wy)
