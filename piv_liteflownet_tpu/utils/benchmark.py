@@ -1,0 +1,66 @@
+"""Device-honest timing for TPU benchmarks.
+
+``jax.block_until_ready`` is unreliable through the axon tunnel (it can
+return before the device finishes; BASELINE.md), so throughput numbers use
+the *chained-executable* method:
+
+1. N iterations of the measured function run inside ONE jitted executable,
+   each iteration's input perturbed by a scalar derived from the previous
+   output — the chain serializes on device and cannot be parallelized or
+   dead-code-eliminated by XLA;
+2. the executable returns one f32 scalar that sums ALL output elements
+   (a sliced readback would let XLA DCE everything outside the slice's
+   dependency cone — measured: a 49-tap correlation "ran" in 0.14 ms because
+   only pixel (0,0) survived);
+3. reading that scalar to host forces a full device sync;
+4. per-iteration time is (t(N_hi) - t(N_lo)) / (N_hi - N_lo), cancelling the
+   constant per-dispatch overhead (~30 ms through the tunnel).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def make_chained(fn, n_iters: int):
+    """Jitted g(*args): run ``fn(*args)`` ``n_iters`` times serially on device,
+    returning one f32 scalar (see module docstring)."""
+
+    @jax.jit
+    def g(*args):
+        first, rest = args[0], args[1:]
+
+        def body(carry, _):
+            x = first + carry.astype(first.dtype)
+            out = fn(x, *rest)
+            leaves = jax.tree.leaves(out)
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return s * jnp.float32(1e-30), None
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=n_iters)
+        return s
+
+    return g
+
+
+def chained_time(fn, args, n_lo: int = 2, n_hi: int = 6, reps: int = 3) -> float:
+    """Per-iteration seconds of ``fn(*args)``, dispatch overhead excluded."""
+    g_lo = make_chained(fn, n_lo)
+    g_hi = make_chained(fn, n_hi)
+    float(g_lo(*args))  # compile + warm
+    float(g_hi(*args))
+
+    def run(g):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = run(g_lo), run(g_hi)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
