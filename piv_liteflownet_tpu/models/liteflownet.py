@@ -186,16 +186,42 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _warp(cfg: ModelConfig, img, flow):
+def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
     """Backwarp through the configured implementation (see ModelConfig).
+
+    Under an active spatial-sharding context (H sharded over a mesh axis,
+    ``parallel.ctx.spatial_context``), levels whose shard height fits the
+    halo use the exact halo-exchange warp (2*halo boundary rows over ICI
+    instead of a GSPMD all-gather of the operand), guarded by the on-device
+    v-bound check with a ``lax.cond`` fallback to the gather warp.
 
     The result is fenced with an ``optimization_barrier`` so XLA materializes
     the (expensive) warp once instead of re-fusing it into every downstream
     consumer tap (the correlation alone has 49 of them).
     """
     if "warp" in cfg.ablate:
-        return img
-    if cfg.warp_impl == "window":
+        return img if stride == 1 else img[:, ::stride, ::stride]
+
+    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+    ctx = get_spatial_ctx()
+    if ctx is not None:
+        n = ctx.mesh.shape[ctx.axis]
+        h_out = img.shape[1] // stride
+        if h_out % n == 0 and img.shape[1] // n >= ctx.halo and n > 1:
+            from piv_liteflownet_tpu.ops.halo_warp import halo_backwarp, v_bound_ok
+
+            out = jax.lax.cond(
+                v_bound_ok(flow, ctx.halo),
+                lambda a, f: halo_backwarp(a, f, ctx.mesh, ctx.axis, ctx.halo, stride),
+                lambda a, f: backwarp(a, f, stride),
+                img, flow,
+            )
+            return jax.lax.optimization_barrier(out)
+
+    if stride != 1:
+        out = backwarp(img, flow, stride)
+    elif cfg.warp_impl == "window":
         from piv_liteflownet_tpu.ops.window_warp import backwarp_window
 
         out = backwarp_window(img, flow, residual=cfg.warp_residual, tile=cfg.warp_tile)
@@ -277,9 +303,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
     else:
         f1s = jax.lax.optimization_barrier(f1[:, ::2, ::2])
         if flow is not None and "warp" not in cfg.ablate:
-            f2s = jax.lax.optimization_barrier(
-                backwarp(f2, flow[:, ::2, ::2] * sf, stride=2)
-            )
+            f2s = _warp(cfg, f2, flow[:, ::2, ::2] * sf, stride=2)
         else:
             f2s = f2[:, ::2, ::2]
         corr = leaky_relu(correlation(f1s, f2s, 1))

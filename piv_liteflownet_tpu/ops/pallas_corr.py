@@ -91,7 +91,7 @@ def correlation_pallas(f1s: jax.Array, f2s: jax.Array, tile_h: int = 32,
         in_specs=[
             pl.BlockSpec((1, th, tw, cpad), lambda ib, i, j: (ib, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, th, tw, NDISP), lambda ib, i, j: (ib, i, j, 0),
                                memory_space=pltpu.VMEM),

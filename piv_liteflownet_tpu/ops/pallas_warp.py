@@ -153,7 +153,7 @@ def backwarp_tiled(img: jax.Array, flow: jax.Array, residual: int = 4,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, th, tw, 2), lambda ib, i, j: (ib, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded image stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # padded image stays in HBM
         ],
         out_specs=pl.BlockSpec((1, th, tw, c), lambda ib, i, j: (ib, i, j, 0),
                                memory_space=pltpu.VMEM),

@@ -160,7 +160,7 @@ def backwarp_pallas_window(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, tw), lambda ib, i, j, *_: (ib, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, th, tw, cpad), lambda ib, i, j, *_: (ib, i, j, 0),
                                memory_space=pltpu.VMEM),

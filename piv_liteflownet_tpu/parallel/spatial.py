@@ -35,20 +35,37 @@ def spatial_shardings(mesh: Mesh, axis: str = "spatial"):
     return NamedSharding(mesh, P(None, axis)), NamedSharding(mesh, P())
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
-def _spatial_forward(params, img1, img2, cfg, precision=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "precision", "ctx"))
+def _spatial_forward(params, img1, img2, cfg, precision=None, ctx=None):
+    # ctx is static (hashable frozen dataclass incl. the Mesh) so the halo
+    # and non-halo variants trace/cache separately.
+    if ctx is not None:
+        from piv_liteflownet_tpu.parallel.ctx import spatial_context
+
+        with spatial_context(ctx.mesh, ctx.axis, ctx.halo):
+            return forward(params, img1, img2, cfg, train=False, precision=precision)
     return forward(params, img1, img2, cfg, train=False, precision=precision)
 
 
-def spatial_estimate(model, img1, img2, mesh: Mesh, axis: str = "spatial"):
+def spatial_estimate(model, img1, img2, mesh: Mesh, axis: str = "spatial",
+                     halo: int = 32, halo_warp: bool = True):
     """Eval-mode forward with the batch's H dimension sharded over ``mesh``.
 
     img1/img2: [B, H, W, 3] with H divisible by (32 * mesh size). Returns the
     final scaled flow, fully replicated (gathered) on exit.
+
+    ``halo_warp=True`` routes the full-res warps through the halo-exchange
+    implementation (ops/halo_warp.py): per-device peak memory stays ~H/N and
+    boundary traffic is 2*halo rows over ICI instead of a GSPMD all-gather of
+    the warped operand. Exact — an on-device v-bound check falls back to the
+    gather warp when |v| >= halo.
     """
+    from piv_liteflownet_tpu.parallel.ctx import SpatialCtx
+
     in_sh, repl = spatial_shardings(mesh, axis)
     img1 = jax.device_put(jnp.asarray(img1), in_sh)
     img2 = jax.device_put(jnp.asarray(img2), in_sh)
     params = jax.device_put(model.params, repl)
-    out = _spatial_forward(params, img1, img2, model.cfg)
+    ctx = SpatialCtx(mesh, axis, halo) if halo_warp else None
+    out = _spatial_forward(params, img1, img2, model.cfg, ctx=ctx)
     return jax.device_put(out, repl)

@@ -12,11 +12,21 @@ we override the platform via ``jax.config`` before any backend is initialized
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("PIV_TPU_TESTS", "") != "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+# PIV_TPU_TESTS=1 keeps the real backend so `-m tpu`-marked tests exercise
+# Mosaic lowering on hardware (run on the bench chip):
+#   PIV_TPU_TESTS=1 python -m pytest tests -m tpu
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: on-device Pallas tests (need a real TPU; PIV_TPU_TESTS=1)"
+    )

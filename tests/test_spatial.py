@@ -1,16 +1,22 @@
-"""Spatial (H-axis) sharding: sharded eval must match single-device output."""
+"""Spatial (H-axis) sharding: sharded eval must match single-device output,
+and the halo-exchange warp must keep the warp local (no all-gather of the
+warped operand) with per-device memory ~1/N."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from piv_liteflownet_tpu.models.factory import piv_liteflownet
+from piv_liteflownet_tpu.ops.halo_warp import halo_backwarp, v_bound_ok
+from piv_liteflownet_tpu.ops.warp import backwarp
 from piv_liteflownet_tpu.parallel.mesh import make_mesh
 from piv_liteflownet_tpu.parallel.spatial import spatial_estimate, spatial_shardings
 
 
-def test_spatial_sharded_forward_matches_single_device():
+@pytest.mark.parametrize("halo_warp", [False, True])
+def test_spatial_sharded_forward_matches_single_device(halo_warp):
     model = piv_liteflownet(version=1)
     rng = np.random.default_rng(0)
     # H = 128 over 4 chips -> 32 rows/chip at full res, 1 row/chip at level 6
@@ -20,6 +26,54 @@ def test_spatial_sharded_forward_matches_single_device():
     ref = np.asarray(model(jnp.asarray(img1), jnp.asarray(img2)))
 
     mesh = make_mesh(4, axes=("spatial",))
-    out = spatial_estimate(model, img1, img2, mesh)
+    out = spatial_estimate(model, img1, img2, mesh, halo=8, halo_warp=halo_warp)
     assert len(jax.device_put(out, spatial_shardings(mesh)[1]).sharding.device_set) == 4
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_halo_backwarp_matches_gather(stride):
+    mesh = make_mesh(4, axes=("spatial",))
+    rng = np.random.default_rng(1)
+    b, h, w, c = 2, 64, 32, 8
+    img = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+    flow = jnp.asarray(
+        rng.uniform(-5, 5, (b, h // stride, w // stride, 2)).astype(np.float32)
+    )
+    assert bool(v_bound_ok(flow, halo=8))
+    in_sh, _ = spatial_shardings(mesh)
+    img_s = jax.device_put(img, in_sh)
+    flow_s = jax.device_put(flow, in_sh)
+    got = np.asarray(halo_backwarp(img_s, flow_s, mesh, halo=8, stride=stride))
+    ref = np.asarray(backwarp(img, flow, stride=stride))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_halo_backwarp_v_bound_guard():
+    flow = jnp.zeros((1, 16, 16, 2)).at[0, 3, 3, 1].set(9.0)
+    assert not bool(v_bound_ok(flow, halo=8))
+    assert bool(v_bound_ok(flow, halo=10))
+
+
+def test_halo_warp_keeps_warp_local():
+    """The halo-exchange warp's HLO must move only boundary rows between
+    devices (collective-permute), never all-gather the warped image operand.
+    Memory check: the sharded forward's per-device peak must be well under
+    the unsharded forward's."""
+    mesh = make_mesh(4, axes=("spatial",))
+    rng = np.random.default_rng(2)
+    b, h, w, c = 1, 128, 64, 8
+    img = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+    flow = jnp.asarray(rng.uniform(-4, 4, (b, h, w, 2)).astype(np.float32))
+
+    in_sh, _ = spatial_shardings(mesh)
+
+    def run(a, f):
+        return halo_backwarp(a, f, mesh, halo=8)
+
+    lowered = jax.jit(run).lower(
+        jax.device_put(img, in_sh), jax.device_put(flow, in_sh)
+    )
+    hlo = lowered.compile().as_text()
+    assert "all-gather" not in hlo, "halo warp must not all-gather its operand"
+    assert "collective-permute" in hlo, "halo exchange should ride ppermute"

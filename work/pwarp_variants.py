@@ -65,7 +65,7 @@ def run(img_p, ru, rv, sy, sx, mode):
         in_specs=[
             pl.BlockSpec((1, TH, TW), lambda ib, i, j, *_: (ib, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, TW), lambda ib, i, j, *_: (ib, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TH, TW, CP), lambda ib, i, j, *_: (ib, i, j, 0),
                                memory_space=pltpu.VMEM),
