@@ -23,34 +23,32 @@ NY, NX = 2 * R + 2, 2 * R + 9  # 10, 17
 def kernel(mode, x_ref, out_ref, acc_ref):
     dt = acc_ref.dtype
     acc_ref[...] = jnp.zeros((TH, TW, CP), dt)
-    blk = x_ref[0]  # (TH+16, TW+24, CP) slab-like block, no DMA
 
     if mode == "fma_only":  # 170 FMAs, NO shifts at all
         def body(dy, c):
-            rows = blk[0:TH, 0:TW, :]
+            rows = x_ref[0, 0:TH, 0:TW, :]
             for dx in range(NX):
                 acc_ref[...] += jnp.asarray(0.01 * dx, dt) * rows
             return c
         jax.lax.fori_loop(0, NY, body, 0)
-    elif mode == "dim0_shift":  # dynamic dim-0 slices (should be free)
+    elif mode == "dim0_shift":  # dynamic dim-1 (untiled) ref slices per dy
         def body(dy, c):
-            rows = blk[pl.ds(dy, TH), 0:TW, :]
+            rows = x_ref[0, pl.ds(dy, TH), 0:TW, :]
             for dx in range(NX):
                 acc_ref[...] += jnp.asarray(0.01 * dx, dt) * rows
             return c
         jax.lax.fori_loop(0, NY, body, 0)
-    elif mode == "sublane_shift":  # static sublane (dim-1) slices per tap
+    elif mode == "sublane_shift":  # + static sublane (dim-2) slices per tap
         def body(dy, c):
-            rows = blk[pl.ds(dy, TH), :, :]
+            rows = x_ref[0, pl.ds(dy, TH), :, :]
             for dx in range(NX):
                 acc_ref[...] += jnp.asarray(0.01 * dx, dt) * rows[:, dx : dx + TW, :]
             return c
         jax.lax.fori_loop(0, NY, body, 0)
     elif mode == "unrolled_sublane":  # no fori: fully static double loop
         for dy in range(NY):
-            rows = blk[dy : dy + TH, :, :]
             for dx in range(NX):
-                acc_ref[...] += jnp.asarray(0.01 * dx, dt) * rows[:, dx : dx + TW, :]
+                acc_ref[...] += jnp.asarray(0.01 * dx, dt) * x_ref[0, dy : dy + TH, dx : dx + TW, :]
     out_ref[0] = acc_ref[...]
 
 
