@@ -61,19 +61,20 @@ class ModelConfig:
         0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
     )
     dtype: jnp.dtype = jnp.float32
-    # Warp implementation ("gather" | "window" | "pallas"):
-    #  - "gather" (DEFAULT, production): packed 4-tap single-gather —
-    #    TPU gathers are descriptor-bound, so all four bilinear corner taps
-    #    ride one gather of 4C-wide rows (ops/warp.py). Exact grid_sample
-    #    semantics, differentiable, ~20 ms per 1024^2 x 64ch warp (vs 67 ms
-    #    for four naive gathers).
+    # Warp implementation ("auto" | "gather" | "window" | "pallas"):
+    #  - "auto" (DEFAULT for eval): guarded fast path — the tent-window warp
+    #    when an ON-DEVICE residual-bound check passes (exactness guaranteed),
+    #    lax.cond fallback to the gather otherwise. Training forwards swap to
+    #    "gather" (see forward()).
+    #  - "gather": packed 4-tap single-gather — TPU gathers are
+    #    descriptor-bound, so all four bilinear corner taps ride one gather
+    #    of 4C-wide rows (ops/warp.py). Exact grid_sample semantics,
+    #    differentiable, ~25 ms/pair per 1024^2 warp of any width.
     #  - "window": per-tile base shift + tent-window sum in pure XLA
-    #    (ops/window_warp.py) — faster standalone (~10 ms) but slower inside
-    #    the fused model (scan serialization); exact while the in-tile flow
-    #    variation stays within warp_residual px.
-    #  - "pallas": same algorithm as a VMEM-resident Pallas kernel
-    #    (ops/pallas_warp.py).
-    warp_impl: str = "gather"
+    #    (ops/window_warp.py), UNGUARDED (clamps residual overflow); ~6 ms
+    #    per 1024^2x3 warp, b4.
+    #  - "pallas": VMEM-resident Pallas tent kernel (ops/pallas_warp.py).
+    warp_impl: str = "auto"
     warp_residual: int = 4
     warp_tile: int = 128
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
@@ -221,6 +222,23 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
 
     if stride != 1:
         out = backwarp(img, flow, stride)
+    elif cfg.warp_impl == "auto":
+        # Guarded fast path: per-tile base-shift tent window (exact while the
+        # in-tile residual bound holds — checked ON DEVICE) with lax.cond
+        # fallback to the exact gather. PIV flows are smooth, so the window
+        # path runs ~4x faster at rgb widths and ~2x at feature widths
+        # (descriptor-bound gather vs VPU tent FMAs).
+        from piv_liteflownet_tpu.ops.window_warp import (
+            backwarp_window,
+            window_residual_ok,
+        )
+
+        out = jax.lax.cond(
+            window_residual_ok(flow, cfg.warp_residual, cfg.warp_tile),
+            lambda a, f: backwarp_window(a, f, cfg.warp_residual, cfg.warp_tile),
+            lambda a, f: backwarp(a, f),
+            img, flow,
+        )
     elif cfg.warp_impl == "window":
         from piv_liteflownet_tpu.ops.window_warp import backwarp_window
 
@@ -323,7 +341,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
 def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
     """NetE-S subpixel refinement (reference src/models.py:190-217)."""
     sf = cfg.scale_factor(level)
-    f2w = _warp(cfg, f2, flow * sf)
+    f2w = f2 if "warpS" in cfg.ablate else _warp(cfg, f2, flow * sf)
     # first conv split per concat part: keeps the feature convs 128-lane
     # aligned instead of feeding a 130/194/258/386-channel concat
     x = _cl_split(p, f"{pfx}.conv_S.0", [f1, f2w, flow], 1, precision)
@@ -340,7 +358,10 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     k = KLAST[level]
 
     rm_flow = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
-    rgb_warp = _warp(cfg, img2, flow * sf)
+    if "warpR" in cfg.ablate:
+        rgb_warp = img2
+    else:
+        rgb_warp = _warp(cfg, img2, flow * sf)
     norm = jax.lax.stop_gradient(
         jnp.sqrt(jnp.sum(jnp.square(img1 - rgb_warp), axis=-1, keepdims=True))
     )
@@ -350,9 +371,12 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     else:
         feat_r = feat1
 
-    x = _cl_split(p, f"{pfx}.conv_R.0", [norm, rm_flow, feat_r], 1, precision)
-    for ci in range(1, 6):
-        x = _cl(p, f"{pfx}.conv_R.{2 * ci}", x, 1, 1, precision)
+    if "Rconv" in cfg.ablate:  # skip the 6-conv stack, keep dist+smooth
+        x = jnp.pad(feat_r[..., :32], ((0, 0),) * 3 + ((0, max(0, 32 - feat_r.shape[-1])),))
+    else:
+        x = _cl_split(p, f"{pfx}.conv_R.0", [norm, rm_flow, feat_r], 1, precision)
+        for ci in range(1, 6):
+            x = _cl(p, f"{pfx}.conv_R.{2 * ci}", x, 1, 1, precision)
 
     if level < 5:
         x = _c(p, f"{pfx}.conv_dist_R.0", x, 1, (PLAST[level], 0), precision)
@@ -363,6 +387,9 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     negsq = -jnp.square(x)
     dist = jnp.exp(negsq - jnp.max(negsq, axis=-1, keepdims=True))
     divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
+
+    if "Rsmooth" in cfg.ablate:  # skip unfold+softmax-dot, keep the rest live
+        return flow + jnp.asarray(1e-30, flow.dtype) * dist[..., :2]
 
     def smooth(comp, scale_name):
         patches = unfold_nhwc(flow[..., comp : comp + 1], k)
@@ -387,6 +414,11 @@ def forward(
     coarsest level first (+ LiteFlowNet2: final flow upsampled to input size).
     Matches reference ``src/models.py:319-370`` / ``:660-716``.
     """
+    if train and cfg.warp_impl == "auto":
+        # training keeps the plain gather warp: simplest exact gradients and
+        # reference-parity backprop (no cond branches in the backward graph)
+        cfg = dataclasses.replace(cfg, warp_impl="gather")
+
     mean = jnp.asarray(cfg.rgb_mean, img1.dtype)
     x1 = img1 - mean[:3]
     x2 = img2 - mean[3:]

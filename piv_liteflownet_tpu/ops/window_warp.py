@@ -34,6 +34,34 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def window_residual_ok(flow: jax.Array, residual: int = 4,
+                       tile: int = 128) -> jax.Array:
+    """Scalar bool: ``backwarp_window`` is EXACT for this flow — every pixel's
+    ``|flow - clipped round(tile mean)|`` fits the tent window. Mirrors the
+    base computation inside ``backwarp_window`` exactly (incl. zero padding of
+    partial tiles and the margin clip), so ``cond(ok, window, gather)`` is an
+    always-exact fast path."""
+    b, h, w, _ = flow.shape
+    th = min(tile, h)
+    tw = min(tile, w)
+    hp, wp = _round_up(h, th), _round_up(w, tw)
+    r = residual
+    f = flow.astype(jnp.float32)
+    if hp != h or wp != w:
+        f = jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    mean = lax.reduce_window(
+        f, 0.0, lax.add, (1, th, tw, 1), (1, th, tw, 1), "VALID"
+    ) / (th * tw)
+    lim = (2 * r + 2 + 64) - r - 2
+    base = jnp.clip(jnp.round(mean), -lim, lim)
+    res = f - jnp.repeat(jnp.repeat(base, th, axis=1), tw, axis=2)
+    # exclude the zero-padded area (those outputs are sliced off)
+    if hp != h or wp != w:
+        mask = jnp.zeros((1, hp, wp, 1), jnp.float32).at[:, :h, :w].set(1.0)
+        res = res * mask
+    return jnp.max(jnp.abs(res)) <= float(r)
+
+
 @functools.partial(jax.jit, static_argnames=("residual", "tile"))
 def backwarp_window(img: jax.Array, flow: jax.Array, residual: int = 4,
                     tile: int = 128) -> jax.Array:

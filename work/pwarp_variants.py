@@ -40,6 +40,14 @@ def kernel(mode, sy_ref, sx_ref, ru_ref, rv_ref, img_ref, out_ref, slab_ref, acc
         if mode == "scalar":  # FMA floor: no per-pixel weights at all
             for dx in range(NX):
                 acc_ref[...] += jnp.asarray(0.01 * dx, dt) * rows[:, dx : dx + TW, :]
+        elif mode == "noshift":  # FMA floor without the per-tap sublane slice
+            for dx in range(NX):
+                acc_ref[...] += jnp.asarray(0.01 * dx, dt) * rows[:, 0:TW, :]
+        elif mode == "nofma":  # shifts only, one FMA per dy
+            s_ = rows[:, 0:TW, :]
+            for dx in range(1, NX):
+                s_ = s_ + rows[:, dx : dx + TW, :]
+            acc_ref[...] += jnp.asarray(0.1, dt) * s_
         elif mode == "bcast_f32":  # per-tap (th,tw)->(th,tw,C) f32 broadcast
             wyd = wy[0]
             for dx in range(NX):
@@ -91,7 +99,7 @@ def main():
     nth, ntw = h // TH, w // TW
     sy = jnp.tile(jnp.arange(nth, dtype=jnp.int32)[None, :, None] * TH, (b, 1, ntw))
     sx = jnp.tile(jnp.arange(ntw, dtype=jnp.int32)[None, None, :] * TW, (b, nth, 1))
-    for mode in ("scalar", "bcast_once", "bcast_f32"):
+    for mode in ("noshift", "nofma", "scalar"):
         t = chained_time(lambda i_, u, v: run(i_, u, v, sy, sx, mode), (img_p, ru, rv))
         print(f"{mode}: {t*1000:.2f} ms (b{b} {h}x{w}x{CP})", flush=True)
 
