@@ -25,10 +25,18 @@ maps actual level 2 -> ext[0] and actual level 1 -> ext[-1] = ext[1].
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+
+# perf-experiment escape hatch (work/prof_*.py): skip the warp result fences
+_NO_WARP_BARRIER = os.environ.get("PIV_NO_WARP_BARRIER", "") == "1"
+
+
+def _bar(x):
+    return x if _NO_WARP_BARRIER else jax.lax.optimization_barrier(x)
 
 from piv_liteflownet_tpu.ops.correlation import correlation
 from piv_liteflownet_tpu.ops.nn import (
@@ -61,20 +69,20 @@ class ModelConfig:
         0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
     )
     dtype: jnp.dtype = jnp.float32
-    # Warp implementation ("auto" | "gather" | "window" | "pallas"):
-    #  - "auto" (DEFAULT for eval): guarded fast path — the tent-window warp
-    #    when an ON-DEVICE residual-bound check passes (exactness guaranteed),
-    #    lax.cond fallback to the gather otherwise. Training forwards swap to
-    #    "gather" (see forward()).
-    #  - "gather": packed 4-tap single-gather — TPU gathers are
+    # Warp implementation ("gather" | "auto" | "window" | "pallas"):
+    #  - "gather" (DEFAULT): packed 4-tap single-gather — TPU gathers are
     #    descriptor-bound, so all four bilinear corner taps ride one gather
     #    of 4C-wide rows (ops/warp.py). Exact grid_sample semantics,
     #    differentiable, ~25 ms/pair per 1024^2 warp of any width.
-    #  - "window": per-tile base shift + tent-window sum in pure XLA
-    #    (ops/window_warp.py), UNGUARDED (clamps residual overflow); ~6 ms
-    #    per 1024^2x3 warp, b4.
+    #  - "auto": guarded tent-window fast path for rgb-width operands with an
+    #    ON-DEVICE residual-bound check and lax.cond fallback to the gather
+    #    (exactness guaranteed). Measured FASTER standalone (6 vs 25 ms/pair
+    #    at c=3) but SLOWER inside the fused model (cond + chunked scan
+    #    serialize against the level pipeline: 195 vs 144 ms/pair, b2) —
+    #    kept as an opt-in for standalone warp workloads.
+    #  - "window": the tent-window path UNGUARDED (clamps residual overflow).
     #  - "pallas": VMEM-resident Pallas tent kernel (ops/pallas_warp.py).
-    warp_impl: str = "auto"
+    warp_impl: str = "gather"
     warp_residual: int = 4
     warp_tile: int = 128
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
@@ -218,27 +226,32 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
                 lambda a, f: backwarp(a, f, stride),
                 img, flow,
             )
-            return jax.lax.optimization_barrier(out)
+            return _bar(out)
 
     if stride != 1:
         out = backwarp(img, flow, stride)
     elif cfg.warp_impl == "auto":
-        # Guarded fast path: per-tile base-shift tent window (exact while the
-        # in-tile residual bound holds — checked ON DEVICE) with lax.cond
-        # fallback to the exact gather. PIV flows are smooth, so the window
-        # path runs ~4x faster at rgb widths and ~2x at feature widths
-        # (descriptor-bound gather vs VPU tent FMAs).
-        from piv_liteflownet_tpu.ops.window_warp import (
-            backwarp_window,
-            window_residual_ok,
-        )
+        # Guarded fast path FOR NARROW (rgb) OPERANDS ONLY: per-tile
+        # base-shift tent window (exact while the in-tile residual bound
+        # holds — checked ON DEVICE) with lax.cond fallback to the exact
+        # gather. Measured in-model: 4x faster than the gather at c=3
+        # (24 vs ~100 ms, b4 1024^2) but 2.6x SLOWER at feature widths
+        # (the chunked scan serializes against the rest of the level), so
+        # wide warps keep the gather.
+        if img.shape[-1] <= 4:
+            from piv_liteflownet_tpu.ops.window_warp import (
+                backwarp_window,
+                window_residual_ok,
+            )
 
-        out = jax.lax.cond(
-            window_residual_ok(flow, cfg.warp_residual, cfg.warp_tile),
-            lambda a, f: backwarp_window(a, f, cfg.warp_residual, cfg.warp_tile),
-            lambda a, f: backwarp(a, f),
-            img, flow,
-        )
+            out = jax.lax.cond(
+                window_residual_ok(flow, cfg.warp_residual, cfg.warp_tile),
+                lambda a, f: backwarp_window(a, f, cfg.warp_residual, cfg.warp_tile),
+                lambda a, f: backwarp(a, f),
+                img, flow,
+            )
+        else:
+            out = backwarp(img, flow)
     elif cfg.warp_impl == "window":
         from piv_liteflownet_tpu.ops.window_warp import backwarp_window
 
@@ -249,7 +262,7 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
         out = backwarp_tiled(img, flow, residual=cfg.warp_residual, tile=cfg.warp_tile)
     else:
         out = backwarp(img, flow)
-    return jax.lax.optimization_barrier(out)
+    return _bar(out)
 
 
 def _cl(p: Params, name: str, x, stride=1, padding=0, precision=None):
@@ -319,7 +332,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
         f2c = _warp(cfg, f2, flow * sf) if flow is not None else f2
         corr = leaky_relu(correlation(f1, f2c, 1))
     else:
-        f1s = jax.lax.optimization_barrier(f1[:, ::2, ::2])
+        f1s = _bar(f1[:, ::2, ::2])
         if flow is not None and "warp" not in cfg.ablate:
             f2s = _warp(cfg, f2, flow[:, ::2, ::2] * sf, stride=2)
         else:

@@ -23,10 +23,18 @@ the same API in the performance pass (see ``piv_liteflownet_tpu/ops/pallas_corr.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# perf-experiment escape hatch (work/prof_*.py): skip the operand fences
+_NO_BARRIER = os.environ.get("PIV_NO_CORR_BARRIER", "") == "1"
+
+
+def _fence(x):
+    return x if _NO_BARRIER else lax.optimization_barrier(x)
 
 MD = 3  # max displacement (7x7 window)
 NDISP = (2 * MD + 1) ** 2  # 49
@@ -45,7 +53,7 @@ def correlation_xla(f1: jax.Array, f2: jax.Array, stride: int = 1) -> jax.Array:
     consumers and RECOMPUTES it per tap — measured 345 ms instead of 16 ms
     inside the full model at 1024^2.
     """
-    f1, f2 = lax.optimization_barrier((f1, f2))
+    f1, f2 = _fence((f1, f2))
     b, h, w, c = f1.shape
     # Displacements are multiples of the stride and outputs live on the
     # stride-s grid, so only the even phase of both maps participates:
@@ -53,10 +61,10 @@ def correlation_xla(f1: jax.Array, f2: jax.Array, stride: int = 1) -> jax.Array:
     f1s = f1[:, ::stride, ::stride, :]
     f2s = f2[:, ::stride, ::stride, :]
     if stride > 1:
-        f1s, f2s = lax.optimization_barrier((f1s, f2s))
+        f1s, f2s = _fence((f1s, f2s))
     hs, ws = f1s.shape[1], f1s.shape[2]
     f2p = jnp.pad(f2s, ((0, 0), (MD, MD), (MD, MD), (0, 0)))
-    f2p = lax.optimization_barrier(f2p)
+    f2p = _fence(f2p)
     inv_c = jnp.asarray(1.0 / c, f1.dtype)
     outs = []
     for dy in range(-MD, MD + 1):
