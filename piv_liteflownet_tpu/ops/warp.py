@@ -34,8 +34,22 @@ def backwarp(img: jax.Array, flow: jax.Array, stride: int = 1) -> jax.Array:
     exact subset a stride-s correlation consumes (its taps are multiples of s,
     reference ``src/correlation.py:58-63``), so warping the other phases would
     be wasted gather descriptors (the gather is row-count-bound on TPU).
+
+    Batches >= 8 at large resolutions are processed in two sequential halves:
+    the packed 4-tap array is 4x the image (the memory cost of the one-gather
+    trick), and halving its transient peak is what lets the full model fit
+    HBM at batch 8 — the gather is descriptor-bound, so the serialization
+    costs nothing.
     """
     b, h, w, c = img.shape
+    if b >= 8 and b % 2 == 0 and h * w >= 512 * 512:
+        hs_, ws_ = flow.shape[1], flow.shape[2]
+        out = lax.map(  # scan: the two halves run SEQUENTIALLY, halving peak
+            lambda ab: backwarp(ab[0], ab[1], stride),
+            (img.reshape(2, b // 2, h, w, c),
+             flow.reshape(2, b // 2, hs_, ws_, 2)),
+        )
+        return out.reshape(b, out.shape[2], out.shape[3], c)
     dtype = img.dtype
     hs, ws = flow.shape[1], flow.shape[2]
 
