@@ -265,6 +265,62 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
     return _bar(out)
 
 
+def _band_plan(shape, halo: int):
+    """Space-to-batch plan for conv stacks: XLA's conv tiling needs batch >= 8
+    to hit the MXU at full rate on large frames (measured: 3x3 128->128 runs
+    18.6-20.9 ms/4Mpx at batch 1-4 @1024^2 but 6.2 at batch >= 8 or after
+    splitting H into bands). Returns k (H-band count) or 1 when banding is
+    unnecessary/inapplicable."""
+    b, h, w, _ = shape
+    if b >= 8 or b * h * w < 8 * 256 * 1024:
+        return 1
+    k = -(-8 // b)  # smallest k with b*k >= 8
+    while k > 1 and (
+        h % k != 0
+        or h // k < max(4 * halo, 32)
+        or h < h // k + 2 * halo  # clamped band windows must fit
+    ):
+        k -= 1
+    return k
+
+
+def _band_starts(h: int, k: int, halo: int):
+    bh = h // k
+    bh2 = bh + 2 * halo
+    assert h >= bh2, f"bands of {bh}+2*{halo} rows do not fit H={h}"
+    return [min(max(i * bh - halo, 0), h - bh2) for i in range(k)], bh, bh2
+
+
+def _space_to_batch(x, k: int, halo: int):
+    """[B,H,W,C] -> [k*B, H/k + 2*halo, W, C], overlapping H-bands (band-major).
+
+    Band windows are CLAMPED inside the image (edge bands are shifted inward
+    rather than padded): a chain of SAME-padded convs on the bands is then
+    exact everywhere — interior kept rows have their full receptive field in
+    the band, and edge kept rows see the band's own zero padding, which IS
+    the full-image edge condition. (Zero-padding the halo instead is wrong
+    for chains: the second conv would read computed values in the virtual
+    rows where the full image has per-conv zero padding.)"""
+    b, h, w, c = x.shape
+    starts, _, bh2 = _band_starts(h, k, halo)
+    bands = [x[:, s : s + bh2] for s in starts]
+    return jnp.concatenate(bands, axis=0)
+
+
+def _batch_to_space(y, k: int, halo: int):
+    """Inverse of :func:`_space_to_batch` (trims each band to its kept rows)."""
+    kb, bh2 = y.shape[0], y.shape[1]
+    b = kb // k
+    bh = bh2 - 2 * halo
+    h = k * bh
+    starts, _, _ = _band_starts(h, k, halo)
+    return jnp.concatenate(
+        [y[i * b : (i + 1) * b, i * bh - starts[i] : i * bh - starts[i] + bh]
+         for i in range(k)],
+        axis=1,
+    )
+
+
 def _cl(p: Params, name: str, x, stride=1, padding=0, precision=None):
     """conv + LeakyReLU(0.1)"""
     return leaky_relu(
@@ -345,9 +401,15 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
 
     x = corr
     n_convs = 4 if cfg.version == 1 else 6
+    halo = (n_convs - 1) + PLAST[level]
+    k = _band_plan(x.shape, halo)
+    if k > 1:
+        x = _space_to_batch(x, k, halo)
     for ci in range(n_convs - 1):
         x = _cl(p, f"{pfx}.conv_M.{2 * ci}", x, 1, 1, precision)
     x = _c(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    if k > 1:
+        x = _batch_to_space(x, k, halo)
     return x + flow if flow is not None else x
 
 
@@ -355,13 +417,20 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
     """NetE-S subpixel refinement (reference src/models.py:190-217)."""
     sf = cfg.scale_factor(level)
     f2w = f2 if "warpS" in cfg.ablate else _warp(cfg, f2, flow * sf)
+    n_convs = 4 if cfg.version == 1 else 6
+    halo = (n_convs - 1) + PLAST[level]
+    k = _band_plan(f1.shape, halo)
+    parts = [f1, f2w, flow]
+    if k > 1:
+        parts = [_space_to_batch(t, k, halo) for t in parts]
     # first conv split per concat part: keeps the feature convs 128-lane
     # aligned instead of feeding a 130/194/258/386-channel concat
-    x = _cl_split(p, f"{pfx}.conv_S.0", [f1, f2w, flow], 1, precision)
-    n_convs = 4 if cfg.version == 1 else 6
+    x = _cl_split(p, f"{pfx}.conv_S.0", parts, 1, precision)
     for ci in range(1, n_convs - 1):
         x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
     x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    if k > 1:
+        x = _batch_to_space(x, k, halo)
     return x + flow
 
 
@@ -384,6 +453,17 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     else:
         feat_r = feat1
 
+    # H radius of the banded region: 6 3x3 convs + the (k x 1) dist conv +
+    # the unfold's k x k patches
+    halo = 6 + 2 * PLAST[level]
+    bk = _band_plan(flow.shape, halo)
+    flow_b = flow
+    if bk > 1:
+        norm, rm_flow, feat_r = (
+            _space_to_batch(t, bk, halo) for t in (norm, rm_flow, feat_r)
+        )
+        flow_b = _space_to_batch(flow, bk, halo)
+
     if "Rconv" in cfg.ablate:  # skip the 6-conv stack, keep dist+smooth
         x = jnp.pad(feat_r[..., :32], ((0, 0),) * 3 + ((0, max(0, 32 - feat_r.shape[-1])),))
     else:
@@ -402,13 +482,15 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
 
     if "Rsmooth" in cfg.ablate:  # skip unfold+softmax-dot, keep the rest live
-        return flow + jnp.asarray(1e-30, flow.dtype) * dist[..., :2]
+        out = flow_b + jnp.asarray(1e-30, flow.dtype) * dist[..., :2]
+        return _batch_to_space(out, bk, halo) if bk > 1 else out
 
     def smooth(comp, scale_name):
-        patches = unfold_nhwc(flow[..., comp : comp + 1], k)
+        patches = unfold_nhwc(flow_b[..., comp : comp + 1], k)
         return _c(p, f"{pfx}.{scale_name}", dist * patches, 1, 0, precision) * divisor
 
-    return jnp.concatenate([smooth(0, "moduleScaleX"), smooth(1, "moduleScaleY")], axis=-1)
+    out = jnp.concatenate([smooth(0, "moduleScaleX"), smooth(1, "moduleScaleY")], axis=-1)
+    return _batch_to_space(out, bk, halo) if bk > 1 else out
 
 
 def forward(
