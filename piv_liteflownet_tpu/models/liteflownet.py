@@ -85,6 +85,11 @@ class ModelConfig:
     warp_impl: str = "gather"
     warp_residual: int = 4
     warp_tile: int = 128
+    # Space-to-batch conv banding (exact; test_banding.py): lifts isolated
+    # b<8 conv stacks from ~19 to ~6.6 ms/4Mpx, but measured NET-SLOWER
+    # inside the full model (band slice/concat traffic: 164 vs 144 ms/pair,
+    # b2 @1024^2) — opt-in until the banding is fused into producers.
+    conv_bands: bool = False
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
@@ -402,7 +407,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
     x = corr
     n_convs = 4 if cfg.version == 1 else 6
     halo = (n_convs - 1) + PLAST[level]
-    k = _band_plan(x.shape, halo)
+    k = _band_plan(x.shape, halo) if cfg.conv_bands else 1
     if k > 1:
         x = _space_to_batch(x, k, halo)
     for ci in range(n_convs - 1):
@@ -419,7 +424,7 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
     f2w = f2 if "warpS" in cfg.ablate else _warp(cfg, f2, flow * sf)
     n_convs = 4 if cfg.version == 1 else 6
     halo = (n_convs - 1) + PLAST[level]
-    k = _band_plan(f1.shape, halo)
+    k = _band_plan(f1.shape, halo) if cfg.conv_bands else 1
     parts = [f1, f2w, flow]
     if k > 1:
         parts = [_space_to_batch(t, k, halo) for t in parts]
@@ -456,7 +461,7 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     # H radius of the banded region: 6 3x3 convs + the (k x 1) dist conv +
     # the unfold's k x k patches
     halo = 6 + 2 * PLAST[level]
-    bk = _band_plan(flow.shape, halo)
+    bk = _band_plan(flow.shape, halo) if cfg.conv_bands else 1
     flow_b = flow
     if bk > 1:
         norm, rm_flow, feat_r = (

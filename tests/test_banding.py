@@ -26,8 +26,14 @@ def test_banded_forward_matches_plain(monkeypatch):
         return 1
 
     monkeypatch.setattr(lfn, "_band_plan", forced)
-    # fresh Model -> fresh jit cache, so the banded trace actually compiles
-    banded_model = piv_liteflownet(model.params, version=1)
+    # fresh Model with conv_bands on -> fresh jit cache, banded trace compiles
+    import dataclasses
+
+    from piv_liteflownet_tpu.models.factory import Model
+
+    banded_model = Model(
+        cfg=dataclasses.replace(model.cfg, conv_bands=True), params=model.params
+    )
     got = np.asarray(banded_model(img1, img2))
 
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
