@@ -111,6 +111,8 @@ def backwarp_pallas_window(
 
     b, h, w, c = img.shape
     r = residual
+    if jnp.dtype(img.dtype).itemsize >= 4:
+        tile_h = min(tile_h, 8)  # f32 slab+acc at th=16 overflow scoped VMEM
     th = min(tile_h, _round_up(h, 8))
     tw = min(tile_w, _round_up(w, 128))
     hp = _round_up(h, th)
