@@ -16,8 +16,11 @@ from bench_lib import chained_time
 from piv_liteflownet_tpu.models.factory import piv_liteflownet
 from piv_liteflownet_tpu.models.liteflownet import forward
 
+import sys as _sys
 SIZE, BATCH = 1024, 4
-model = piv_liteflownet(version=1)
+VERSION = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1
+BATCH = int(_sys.argv[2]) if len(_sys.argv) > 2 else 4
+model = piv_liteflownet(version=VERSION)
 params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.params)
 
 key = jax.random.PRNGKey(0)
@@ -25,7 +28,7 @@ img1 = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 img2 = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 
 base = None
-for ablate in [(), ("warpS",), ("warpR",), ("Rconv",), ("Rsmooth",), ("corr",)]:
+for ablate in [(), ("warp",), ("corr",), ("S",), ("R",)]:
     cfg = dataclasses.replace(model.cfg, ablate=ablate)
 
     def fn(a, b, cfg=cfg):
