@@ -47,7 +47,7 @@ from piv_liteflownet_tpu.ops.nn import (
     unfold_nhwc,
 )
 from piv_liteflownet_tpu.ops.resize import resize_bilinear
-from piv_liteflownet_tpu.ops.warp import backwarp
+from piv_liteflownet_tpu.ops.warp import backwarp, gather_warp, pack_img
 
 Params = Dict[str, jax.Array]
 
@@ -337,6 +337,21 @@ def _c(p: Params, name: str, x, stride=1, padding=0, precision=None):
     return conv2d(x, p[f"{name}.weight"], p[f"{name}.bias"], stride, padding, precision)
 
 
+def _c_padout(p: Params, name: str, x, padding=0, precision=None, pad_to: int = 32):
+    """Conv whose tiny cout is zero-padded to ``pad_to`` output channels, then
+    sliced back — EXACT. XLA's conv path for cout=2 picks a T(2,128) output
+    layout that runs at ~1.4% MXU (profiled: 9.1 ms for the 6-GFLOP 7x7
+    32->2 conv at L1); padding the weights restores the standard layout."""
+    w = p[f"{name}.weight"]
+    b_ = p[f"{name}.bias"]
+    cout = w.shape[-1]
+    if cout >= pad_to:
+        return conv2d(x, w, b_, 1, padding, precision)
+    w_p = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad_to - cout)))
+    out = conv2d(x, w_p, None, 1, padding, precision)[..., :cout]
+    return out + b_
+
+
 def _cl_split(p: Params, name: str, parts, padding, precision=None):
     """conv+LeakyReLU over a channel-concat, as a SUM of per-part convs.
 
@@ -372,7 +387,7 @@ def _netc(p: Params, x, precision) -> List[jax.Array]:
     return [l1, l2, l3, l4, l5, l6]
 
 
-def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
+def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     """NetE-M descriptor matching (reference src/models.py:134-187).
 
     At stride-2 levels (<4) the correlation consumes only the even-phase
@@ -390,12 +405,21 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
         b_, h_, w_, _ = f1.shape
         corr = jnp.zeros((b_, h_, w_, 49), f1.dtype) + f1[..., :1]
     elif level >= 4:
-        f2c = _warp(cfg, f2, flow * sf) if flow is not None else f2
+        if flow is None:
+            f2c = f2
+        elif f2p is not None:
+            f2c = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], flow * sf))
+        else:
+            f2c = _warp(cfg, f2, flow * sf)
         corr = leaky_relu(correlation(f1, f2c, 1))
     else:
         f1s = _bar(f1[:, ::2, ::2])
         if flow is not None and "warp" not in cfg.ablate:
-            f2s = _warp(cfg, f2, flow[:, ::2, ::2] * sf, stride=2)
+            fsub = flow[:, ::2, ::2] * sf
+            if f2p is not None:
+                f2s = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], fsub, 2))
+            else:
+                f2s = _warp(cfg, f2, fsub, stride=2)
         else:
             f2s = f2[:, ::2, ::2]
         corr = leaky_relu(correlation(f1s, f2s, 1))
@@ -412,16 +436,21 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision):
         x = _space_to_batch(x, k, halo)
     for ci in range(n_convs - 1):
         x = _cl(p, f"{pfx}.conv_M.{2 * ci}", x, 1, 1, precision)
-    x = _c(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    x = _c_padout(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, PLAST[level], precision)
     if k > 1:
         x = _batch_to_space(x, k, halo)
     return x + flow if flow is not None else x
 
 
-def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
+def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     """NetE-S subpixel refinement (reference src/models.py:190-217)."""
     sf = cfg.scale_factor(level)
-    f2w = f2 if "warpS" in cfg.ablate else _warp(cfg, f2, flow * sf)
+    if "warpS" in cfg.ablate:
+        f2w = f2
+    elif f2p is not None:
+        f2w = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], flow * sf))
+    else:
+        f2w = _warp(cfg, f2, flow * sf)
     n_convs = 4 if cfg.version == 1 else 6
     halo = (n_convs - 1) + PLAST[level]
     k = _band_plan(f1.shape, halo) if cfg.conv_bands else 1
@@ -433,7 +462,7 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision):
     x = _cl_split(p, f"{pfx}.conv_S.0", parts, 1, precision)
     for ci in range(1, n_convs - 1):
         x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
-    x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    x = _c_padout(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, PLAST[level], precision)
     if k > 1:
         x = _batch_to_space(x, k, halo)
     return x + flow
@@ -492,7 +521,7 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
 
     def smooth(comp, scale_name):
         patches = unfold_nhwc(flow_b[..., comp : comp + 1], k)
-        return _c(p, f"{pfx}.{scale_name}", dist * patches, 1, 0, precision) * divisor
+        return _c_padout(p, f"{pfx}.{scale_name}", dist * patches, 0, precision) * divisor
 
     out = jnp.concatenate([smooth(0, "moduleScaleX"), smooth(1, "moduleScaleY")], axis=-1)
     return _batch_to_space(out, bk, halo) if bk > 1 else out
@@ -550,11 +579,23 @@ def forward(
         else:
             f1_in, f2_in = feat1[li], feat2[li]
 
-        flow_m = _matching(params, f"NetE_M.{i}", cfg, level, f1_in, f2_in, flow, precision)
+        # One packed 4-tap array serves BOTH the M and S warps of this
+        # level's second feature map (the pack build costs ~3 ms/pair at
+        # 1024^2; profiled) — only on the plain-gather path.
+        from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+        use_pack = (
+            cfg.warp_impl == "gather"
+            and "warp" not in cfg.ablate
+            and get_spatial_ctx() is None
+            and f2_in.shape[0] < 8
+        )
+        f2p = _bar(pack_img(f2_in)) if use_pack else None
+        flow_m = _matching(params, f"NetE_M.{i}", cfg, level, f1_in, f2_in, flow, precision, f2p)
         if "S" in cfg.ablate:
             flow_s = flow_m
         else:
-            flow_s = _subpixel(params, f"NetE_S.{i}", cfg, level, f1_in, f2_in, flow_m, precision)
+            flow_s = _subpixel(params, f"NetE_S.{i}", cfg, level, f1_in, f2_in, flow_m, precision, f2p)
         if "R" in cfg.ablate:
             flow = flow_s
         else:

