@@ -337,21 +337,6 @@ def _c(p: Params, name: str, x, stride=1, padding=0, precision=None):
     return conv2d(x, p[f"{name}.weight"], p[f"{name}.bias"], stride, padding, precision)
 
 
-def _c_padout(p: Params, name: str, x, padding=0, precision=None, pad_to: int = 32):
-    """Conv whose tiny cout is zero-padded to ``pad_to`` output channels, then
-    sliced back — EXACT. XLA's conv path for cout=2 picks a T(2,128) output
-    layout that runs at ~1.4% MXU (profiled: 9.1 ms for the 6-GFLOP 7x7
-    32->2 conv at L1); padding the weights restores the standard layout."""
-    w = p[f"{name}.weight"]
-    b_ = p[f"{name}.bias"]
-    cout = w.shape[-1]
-    if cout >= pad_to:
-        return conv2d(x, w, b_, 1, padding, precision)
-    w_p = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad_to - cout)))
-    out = conv2d(x, w_p, None, 1, padding, precision)[..., :cout]
-    return out + b_
-
-
 def _cl_split(p: Params, name: str, parts, padding, precision=None):
     """conv+LeakyReLU over a channel-concat, as a SUM of per-part convs.
 
@@ -436,7 +421,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
         x = _space_to_batch(x, k, halo)
     for ci in range(n_convs - 1):
         x = _cl(p, f"{pfx}.conv_M.{2 * ci}", x, 1, 1, precision)
-    x = _c_padout(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, PLAST[level], precision)
+    x = _c(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
     if k > 1:
         x = _batch_to_space(x, k, halo)
     return x + flow if flow is not None else x
@@ -462,7 +447,7 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     x = _cl_split(p, f"{pfx}.conv_S.0", parts, 1, precision)
     for ci in range(1, n_convs - 1):
         x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
-    x = _c_padout(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, PLAST[level], precision)
+    x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
     if k > 1:
         x = _batch_to_space(x, k, halo)
     return x + flow
@@ -521,7 +506,7 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
 
     def smooth(comp, scale_name):
         patches = unfold_nhwc(flow_b[..., comp : comp + 1], k)
-        return _c_padout(p, f"{pfx}.{scale_name}", dist * patches, 0, precision) * divisor
+        return _c(p, f"{pfx}.{scale_name}", dist * patches, 1, 0, precision) * divisor
 
     out = jnp.concatenate([smooth(0, "moduleScaleX"), smooth(1, "moduleScaleY")], axis=-1)
     return _batch_to_space(out, bk, halo) if bk > 1 else out

@@ -62,21 +62,36 @@ def depthwise_deconv4x2(x: jax.Array, w_flipped: jax.Array, precision=None) -> j
     The reference uses this as a *trainable* 2x flow / cost-volume upsampler
     (reference ``src/models.py:144-152``).
 
-    Lowered as the PHASE DECOMPOSITION of the transposed conv: each of the
-    four output phases (parity of the output row/col) is a 2x2-tap depthwise
-    stencil of the input, computed as shifted elementwise multiplies and
-    interleaved — pure VPU work. XLA's ``lhs_dilation`` grouped-conv path for
-    this op is pathological on TPU (profiled 9.1 ms per 512^2x2ch call at
-    batch 2, ~50x this formulation).
-
-    Derivation (per dim; ``w_flipped`` is the spatially flipped kernel, so
-    this matches the dilate-by-2 + SAME-ish conv identity):
-      out[2u]   = wf[0]*x[u-1] + wf[2]*x[u]
-      out[2u+1] = wf[1]*x[u]   + wf[3]*x[u+1]
+    Implemented as the transposed-conv identity: dilate the input by 2 and
+    run a stride-1 depthwise conv with the spatially flipped kernel and
+    padding k-1-p = 2. A 16-tap PHASE DECOMPOSITION (``_deconv4x2_phases``)
+    was measured and is kept for reference: although the profiler attributes
+    9.1 ms to the 2-ch conv-path fusions, swapping in the decomposition made
+    the FULL MODEL 14 ms/pair slower (158 vs 144, b2 @1024^2) — the conv
+    fusions overlap work the explicit interleave serializes. Measured, kept
+    off.
 
     ``w_flipped`` must already be spatially flipped and laid out ``(4, 4, 1, C)``
     (the torch->JAX converter performs the flip once at load time).
     """
+    c = x.shape[-1]
+    return lax.conv_general_dilated(
+        x,
+        w_flipped,
+        window_strides=(1, 1),
+        padding=[(2, 2), (2, 2)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=DIMNUMS,
+        feature_group_count=c,
+        precision=precision,
+    )
+
+
+def _deconv4x2_phases(x: jax.Array, w_flipped: jax.Array) -> jax.Array:
+    """Phase-decomposed depthwise deconv (see ``depthwise_deconv4x2``; exact,
+    covered by test_ops, measured net-slower in-model):
+      out[2u]   = wf[0]*x[u-1] + wf[2]*x[u]
+      out[2u+1] = wf[1]*x[u]   + wf[3]*x[u+1]   (per dim)"""
     b, h, w, c = x.shape
     wf = w_flipped[:, :, 0, :]  # [4, 4, C]
 

@@ -145,3 +145,20 @@ def test_unfold_matches_torch(k):
 def test_leaky_relu():
     x = jnp.asarray([-2.0, 0.0, 3.0])
     np.testing.assert_allclose(np.asarray(leaky_relu(x)), [-0.2, 0.0, 3.0], atol=1e-7)
+
+
+def test_deconv_phase_decomposition_matches_conv_path():
+    """The reference-kept phase decomposition must equal the conv-path
+    depthwise deconv (it is exact; only net-slower in-model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from piv_liteflownet_tpu.ops.nn import _deconv4x2_phases, depthwise_deconv4x2
+
+    key = jax.random.PRNGKey(11)
+    for c in (2, 49):
+        x = jax.random.normal(key, (2, 8, 12, c), jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(key, c), (4, 4, 1, c), jnp.float32)
+        a = depthwise_deconv4x2(x, w)
+        b = _deconv4x2_phases(x, w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
