@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--params", type=str, default=None,
                         help="Weight file (.paramOnly torch state dict or .npz). "
                              "Defaults to models/pretrain_torch/<name>.paramOnly if present.")
-    parser.add_argument("--batch_size", type=int, default=1, help="Image pairs per device step.")
+    parser.add_argument("--batch_size", type=int, default=2,
+                        help="Image pairs per device step (2 measured best per-pair for the full v1 pipeline @1024^2; see BASELINE.md).")
     parser.add_argument("--cpu", action="store_true", help="Force the CPU backend.")
     parser.add_argument("--bf16", action="store_true",
                         help="Run params/activations in bfloat16 (fast path; "
