@@ -2,7 +2,9 @@
 
 Measures the flagship PIV-LiteFlowNet-en (v1, lowest_level=1) end-to-end
 inference forward — the same jitted pipeline ``run.py`` uses — on the real
-chip, plus the v2 backbone (quarter-res decode) as a secondary figure.
+chip, plus the v2 backbone (quarter-res decode) and the 256^2/512^2
+resolution-scaling figures as extras so progress on every size is
+machine-tracked round over round.
 
 Timing method: chained executable + full-sum scalar readback
 (piv_liteflownet_tpu/utils/benchmark.py) — ``block_until_ready`` is
@@ -31,7 +33,7 @@ BASELINE_PAIRS_PER_SEC = 200.0
 SIZE = 1024
 
 
-def bench_version(version: int, batch: int, dtype=jnp.bfloat16) -> float:
+def bench_version(version: int, batch: int, dtype=jnp.bfloat16, size: int = SIZE) -> float:
     model = piv_liteflownet(version=version)
     params = jax.tree.map(lambda x: x.astype(dtype), model.params)
     cfg = model.cfg
@@ -40,29 +42,41 @@ def bench_version(version: int, batch: int, dtype=jnp.bfloat16) -> float:
         return forward(params, a, b, cfg, train=False)
 
     key = jax.random.PRNGKey(0)
-    img1 = jax.random.uniform(key, (batch, SIZE, SIZE, 3), dtype)
-    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (batch, SIZE, SIZE, 3), dtype)
+    img1 = jax.random.uniform(key, (batch, size, size, 3), dtype)
+    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (batch, size, size, 3), dtype)
     t = chained_time(fn, (img1, img2))
     return batch / t
 
 
 def main():
     result = 0.0
+    v1_ok = False
     # batch sweep finding (BASELINE.md): XLA's big-frame convs need batch>=8
     # for full MXU rate but the b8 model is HBM-squeezed; b=2 measured best
     # per-pair for the full v1 pipeline (144 vs 161 ms/pair at b4).
     for batch, dtype in ((2, jnp.bfloat16), (1, jnp.bfloat16), (1, jnp.float32)):
         try:
             result = bench_version(1, batch, dtype)
+            v1_ok = True
             break
         except Exception as e:  # OOM or compile failure: shrink
             print(f"bench v1 b={batch} {dtype.__name__} failed: {e}", file=sys.stderr)
 
     extras = {"method": "chained-scan+scalar-readback", "batch": batch}
-    try:
-        extras["v2_pairs_per_sec"] = round(bench_version(2, 8), 3)
-    except Exception as e:
-        print(f"bench v2 failed: {e}", file=sys.stderr)
+    if not v1_ok:
+        extras["v1_failed"] = True
+    # Secondary figures: v2 backbone (the north-star path) + resolution table.
+    for name, version, b, size in (
+        ("v2_pairs_per_sec", 2, 8, 1024),
+        ("v1_512", 1, 8, 512),
+        ("v2_512", 2, 8, 512),
+        ("v1_256", 1, 16, 256),
+        ("v2_256", 2, 16, 256),
+    ):
+        try:
+            extras[name] = round(bench_version(version, b, size=size), 3)
+        except Exception as e:
+            print(f"bench {name} failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "1024^2 PIV pairs/sec/chip",

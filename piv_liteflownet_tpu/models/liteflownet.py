@@ -69,11 +69,14 @@ class ModelConfig:
         0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
     )
     dtype: jnp.dtype = jnp.float32
-    # Warp implementation ("gather" | "auto" | "window" | "pallas"):
+    # Warp implementation ("gather" | "tent" | "auto" | "window" | "pallas"):
     #  - "gather" (DEFAULT): packed 4-tap single-gather — TPU gathers are
     #    descriptor-bound, so all four bilinear corner taps ride one gather
     #    of 4C-wide rows (ops/warp.py). Exact grid_sample semantics,
     #    differentiable, ~25 ms/pair per 1024^2 warp of any width.
+    #  - "tent": value-accumulated Pallas tent-window warp
+    #    (ops/pallas_feat_warp.py) with on-device residual guard + exact
+    #    gather fallback; strided (M) warps keep the gather.
     #  - "auto": guarded tent-window fast path for rgb-width operands with an
     #    ON-DEVICE residual-bound check and lax.cond fallback to the gather
     #    (exactness guaranteed). Measured FASTER standalone (6 vs 25 ms/pair
@@ -90,6 +93,13 @@ class ModelConfig:
     # inside the full model (band slice/concat traffic: 164 vs 144 ms/pair,
     # b2 @1024^2) — opt-in until the banding is fused into producers.
     conv_bands: bool = False
+    # NetE-R occlusion-norm path ("gather" | "auto" | "pallas"):
+    #  - "gather": norm = sqrt(sum_c (img1 - packed-gather-warp(img2))^2).
+    #  - "auto": fused planar Pallas warp+norm kernel (ops/pallas_rgb_warp.py)
+    #    guarded by the on-device tent-bound check, exact gather fallback —
+    #    exactness guaranteed. The warped rgb never touches HBM.
+    #  - "pallas": the kernel unguarded (clamps out-of-window flow).
+    rgb_norm: str = "gather"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
@@ -222,7 +232,10 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
     if ctx is not None:
         n = ctx.mesh.shape[ctx.axis]
         h_out = img.shape[1] // stride
-        if h_out % n == 0 and img.shape[1] // n >= ctx.halo and n > 1:
+        # img H must also shard evenly (P(None, axis) in_spec): implied by
+        # h_out % n == 0 for stride 1, but not for stride 2 with odd H/n.
+        if (h_out % n == 0 and img.shape[1] % n == 0
+                and img.shape[1] // n >= ctx.halo and n > 1):
             from piv_liteflownet_tpu.ops.halo_warp import halo_backwarp, v_bound_ok
 
             out = jax.lax.cond(
@@ -235,6 +248,12 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
 
     if stride != 1:
         out = backwarp(img, flow, stride)
+    elif cfg.warp_impl == "tent":
+        # Value-accumulated Pallas tent warp (ops/pallas_feat_warp.py):
+        # guarded by the on-device residual check, exact gather fallback.
+        from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp_auto
+
+        out = feat_warp_auto(img, flow, r=cfg.warp_residual)
     elif cfg.warp_impl == "auto":
         # Guarded fast path FOR NARROW (rgb) OPERANDS ONLY: per-tile
         # base-shift tent window (exact while the in-tile residual bound
@@ -459,13 +478,30 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
     k = KLAST[level]
 
     rm_flow = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
-    if "warpR" in cfg.ablate:
-        rgb_warp = img2
-    else:
-        rgb_warp = _warp(cfg, img2, flow * sf)
-    norm = jax.lax.stop_gradient(
-        jnp.sqrt(jnp.sum(jnp.square(img1 - rgb_warp), axis=-1, keepdims=True))
+    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+    use_rgb_kernel = (
+        cfg.rgb_norm in ("auto", "pallas")
+        and "warpR" not in cfg.ablate
+        and get_spatial_ctx() is None
+        and img1.shape[1] >= 64 and img1.shape[2] >= 128
     )
+    if use_rgb_kernel:
+        from piv_liteflownet_tpu.ops.pallas_rgb_warp import (
+            rgb_warp_norm,
+            rgb_warp_norm_pallas,
+        )
+
+        fn = rgb_warp_norm if cfg.rgb_norm == "auto" else rgb_warp_norm_pallas
+        norm = jax.lax.stop_gradient(_bar(fn(img1, img2, flow * sf)))
+    else:
+        if "warpR" in cfg.ablate:
+            rgb_warp = img2
+        else:
+            rgb_warp = _warp(cfg, img2, flow * sf)
+        norm = jax.lax.stop_gradient(
+            jnp.sqrt(jnp.sum(jnp.square(img1 - rgb_warp), axis=-1, keepdims=True))
+        )
 
     if level < 5:
         feat_r = _cl(p, f"{pfx}.moduleFeat.0", feat1, 1, 0, precision)

@@ -1,0 +1,227 @@
+"""Fused rgb backwarp + occlusion norm as a planar Pallas kernel.
+
+The NetE-R occlusion proxy is ``norm = sqrt(sum_c (img1 - warp(img2, flow))^2)``
+(reference ``src/models.py:276-277``) — the warped rgb itself is never consumed.
+The r2 profile attributed ~34 ms/pair (b4, 1024^2) to this rgb warp + norm: the
+packed gather is descriptor-bound (~18 ns/row regardless of width), and an
+NHWC tent kernel wastes 128/3 of every vector op on channel padding.
+
+This kernel computes the norm directly, planar and per-channel:
+
+- Layout: ``img2`` as padded planes ``[B, 3, Hp, Wp]`` — rows in sublanes,
+  x in lanes, channels a *python* loop (3 iterations sharing every weight
+  plane). Full VPU utilization at c=3.
+- y: per-row-band base shift ``round(mean v)``, applied as an 8-aligned HBM
+  window DMA; the 0..7 alignment phase is absorbed into the v residual, so
+  the y tent spans ``2r+9`` taps (13 at r=2).
+- x: NO dynamic lane offsets (Mosaic would need 128-alignment) — a global
+  tent over ``|u| <= lim`` (2*lim+2 static lane-shifted taps). PIV u
+  displacements at the R warp are a few px (flow * scale_factor), so lim=8
+  covers real data; the on-device guard falls back to the exact gather path
+  otherwise.
+- Tent weights ``relu(1 - |res - d|)`` are nonzero exactly at the true 4
+  bilinear taps, so the result is EXACT (grid_sample bilinear/zeros/
+  align_corners=True semantics, reference ``src/models.py:20-35``) whenever
+  the residual bounds hold — which ``rgb_warp_norm`` checks on device,
+  ``lax.cond``-falling back to the gather otherwise.
+- All tap accumulation is by VALUE in unrolled loops (the r2 NHWC kernel's
+  ``acc_ref[...] +=`` round-tripped VMEM per tap and lost 2x).
+
+The norm is differentiation-free by construction: the reference detaches it
+(``.detach()``), so this forward-only kernel is valid in training too.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _norm_kernel(sy_ref, img1_ref, u_ref, rv_ref, img2_ref, out_ref,
+                 slab_ref, wx_ref, sem, *, th, cw, sh, r, lim, nx, ny):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ib = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    sy = pl.multiple_of(sy_ref[ib, ti], 8)
+    dma = pltpu.make_async_copy(
+        img2_ref.at[ib, :, pl.ds(sy, sh), :], slab_ref, sem,
+    )
+    dma.start()
+
+    dt = slab_ref.dtype
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.zeros((), dt)
+
+    # x tent weight planes, hoisted out of the tap loops (each is reused by
+    # all ny y-taps; the 3 channels share the full weight product).
+    u = u_ref[0].astype(dt)  # (th, cw)
+    for dx in range(nx):
+        wx_ref[dx] = jnp.maximum(zero, one - jnp.abs(u - jnp.asarray(dx - lim, dt)))
+
+    rv = rv_ref[0].astype(dt)  # (th, cw): v residual incl. 0..7 DMA phase
+
+    dma.wait()
+
+    # acc_c = sum_dy sum_dx wy[dy] * wx[dx] * slab[c, dy:dy+th, dx:dx+cw].
+    # dy/dx loops are static (python) so every slab read is a static 2D
+    # shifted slice; accumulation is by VALUE.
+    accs = [jnp.zeros((th, cw), dt) for _ in range(3)]
+    for dy in range(ny):
+        wy = jnp.maximum(zero, one - jnp.abs(rv - jnp.asarray(dy - r, dt)))
+        for dx in range(nx):
+            wprod = wy * wx_ref[dx]
+            for c in range(3):
+                accs[c] = accs[c] + wprod * slab_ref[c, dy:dy + th, dx:dx + cw]
+
+    nsq = jnp.zeros((th, cw), jnp.float32)
+    for c in range(3):
+        d = (img1_ref[0, c] - accs[c]).astype(jnp.float32)
+        nsq = nsq + d * d
+    out_ref[0] = jnp.sqrt(nsq).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "lim", "tile_h", "interpret"),
+)
+def rgb_warp_norm_pallas(
+    img1: jax.Array,
+    img2: jax.Array,
+    flow: jax.Array,
+    r: int = 2,
+    lim: int = 8,
+    tile_h: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """UNGUARDED fused warp+norm (callers wanting guaranteed exactness use
+    :func:`rgb_warp_norm`). img1/img2 [B,H,W,3], flow [B,H,W,2] (pixel units,
+    pre-scaled). Returns [B,H,W,1]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, _ = img1.shape
+    th = min(tile_h, h)
+    nty = -(-h // th)
+    hp_rows = nty * th
+    nx = 2 * lim + 2
+    ny = 2 * r + 9  # r-tent + 0..7 DMA alignment phase
+    cw = _round_up(w, 128)          # compute width (lanes)
+    swp = _round_up(cw + nx - 1, 128)  # slab width
+    sh = _round_up(th + ny - 1, 8)
+    dtype = img1.dtype
+
+    # planar images; img2 padded so any guarded window stays in bounds:
+    # x origin of the slab is global x = -lim (left pad of lim).
+    my = lim + r + 16
+    p1 = jnp.moveaxis(img1, -1, 1)  # [B,3,H,W]
+    p1 = jnp.pad(p1, ((0, 0), (0, 0), (0, hp_rows - h), (0, cw - w)))
+    p2 = jnp.moveaxis(img2, -1, 1)
+    p2 = jnp.pad(
+        p2,
+        ((0, 0), (0, 0), (my, my + (hp_rows - h) + sh), (lim, swp - w - lim)),
+    )
+
+    f = flow.astype(jnp.float32)
+    if hp_rows != h:
+        f = jnp.pad(f, ((0, 0), (0, hp_rows - h), (0, 0), (0, 0)), mode="edge")
+    u, v = f[..., 0], f[..., 1]
+    # per-row-band y base (the x tent is global over [-lim, lim])
+    vmean = lax.reduce_window(
+        v, 0.0, lax.add, (1, th, v.shape[2]), (1, th, v.shape[2]), "VALID"
+    ) / float(th * v.shape[2])  # [B, nty, 1]
+    bv = jnp.clip(jnp.round(vmean), -float(lim), float(lim)).astype(jnp.int32)
+
+    iy = lax.broadcasted_iota(jnp.int32, (1, nty, 1), 1) * th
+    sy_raw = iy + bv + (my - r)
+    sy = (sy_raw // 8) * 8
+    phase = (sy_raw - sy).astype(jnp.float32)  # 0..7
+    rv = (
+        v
+        - jnp.repeat(bv.astype(jnp.float32), th, axis=1)
+        + jnp.repeat(phase, th, axis=1)
+    )
+    sy = sy[:, :, 0]  # [B, nty]
+
+    up = jnp.pad(u, ((0, 0), (0, 0), (0, cw - w)))
+    rvp = jnp.pad(rv, ((0, 0), (0, 0), (0, cw - w)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nty),
+        in_specs=[
+            pl.BlockSpec((1, 3, th, cw), lambda ib, i, *_: (ib, 0, i, 0),
+                         memory_space=pltpu.VMEM),  # img1 planes
+            pl.BlockSpec((1, th, cw), lambda ib, i, *_: (ib, i, 0),
+                         memory_space=pltpu.VMEM),  # u
+            pl.BlockSpec((1, th, cw), lambda ib, i, *_: (ib, i, 0),
+                         memory_space=pltpu.VMEM),  # rv
+            pl.BlockSpec(memory_space=pl.ANY),      # img2 planes (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, th, cw), lambda ib, i, *_: (ib, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, sh, swp), dtype),
+            pltpu.VMEM((nx, th, cw), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_norm_kernel, th=th, cw=cw, sh=sh, r=r,
+                          lim=lim, nx=nx, ny=ny),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hp_rows, cw), dtype),
+        interpret=interpret,
+    )(sy, p1, up, rvp, p2)
+    return out[:, :h, :w, None]
+
+
+def rgb_norm_bounds_ok(flow: jax.Array, r: int = 2, lim: int = 8,
+                       tile_h: int = 16) -> jax.Array:
+    """Scalar bool: the kernel's exactness conditions hold — |u| <= lim and
+    per-row-band |v - round(band mean v)| <= r (band mean clipped to lim)."""
+    b, h, w, _ = flow.shape
+    th = min(tile_h, h)
+    nty = -(-h // th)
+    f = flow.astype(jnp.float32)
+    if nty * th != h:
+        f = jnp.pad(f, ((0, 0), (0, nty * th - h), (0, 0), (0, 0)), mode="edge")
+    u, v = f[..., 0], f[..., 1]
+    vmean = lax.reduce_window(
+        v, 0.0, lax.add, (1, th, v.shape[2]), (1, th, v.shape[2]), "VALID"
+    ) / float(th * v.shape[2])
+    bv = jnp.clip(jnp.round(vmean), -float(lim), float(lim))
+    rv = v - jnp.repeat(bv, th, axis=1)
+    return (jnp.max(jnp.abs(u)) <= float(lim)) & (jnp.max(jnp.abs(rv)) <= float(r))
+
+
+def rgb_warp_norm_gather(img1: jax.Array, img2: jax.Array,
+                         flow: jax.Array) -> jax.Array:
+    """Exact fallback: packed-gather warp + norm (the pre-kernel formulation)."""
+    from piv_liteflownet_tpu.ops.warp import backwarp
+
+    d = img1 - backwarp(img2, flow)
+    return jnp.sqrt(jnp.sum(jnp.square(d), axis=-1, keepdims=True))
+
+
+def rgb_warp_norm(img1: jax.Array, img2: jax.Array, flow: jax.Array,
+                  r: int = 2, lim: int = 8, tile_h: int = 16) -> jax.Array:
+    """Exact occlusion norm ``sqrt(sum_c (img1 - backwarp(img2, flow))^2)``:
+    fused planar kernel when the tent bounds hold (checked ON DEVICE),
+    packed-gather fallback otherwise."""
+    ok = rgb_norm_bounds_ok(flow, r, lim, tile_h)
+    return lax.cond(
+        ok,
+        lambda a, b_, f: rgb_warp_norm_pallas(a, b_, f, r, lim, tile_h),
+        lambda a, b_, f: rgb_warp_norm_gather(a, b_, f),
+        img1, img2, flow,
+    )

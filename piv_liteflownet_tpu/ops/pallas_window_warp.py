@@ -181,10 +181,27 @@ def backwarp_pallas_window(
     return out[:, :h, :w, :c]
 
 
+def _effective_tile_h(img_dtype, tile_h: int) -> int:
+    """The tile height :func:`backwarp_pallas_window` actually uses — it
+    silently reduces ``tile_h`` to 8 for >=4-byte dtypes (f32 slab + acc at
+    th=16 overflow scoped VMEM). The exactness guard must check residuals on
+    the SAME tiling: per-tile round(mean) residuals are not monotone under
+    tile splitting, so an f32 flow could pass residual_ok(th=16) yet exceed
+    the 8-row kernel's tent window."""
+    if jnp.dtype(img_dtype).itemsize >= 4:
+        return min(tile_h, 8)
+    return tile_h
+
+
 def residual_ok(flow: jax.Array, residual: int = 4, lim: int = 24,
-                tile_h: int = 16, tile_w: int = 128) -> jax.Array:
+                tile_h: int = 16, tile_w: int = 128,
+                img_dtype=None) -> jax.Array:
     """Scalar bool: every pixel's |flow - round(tile mean)| <= residual
-    (the window kernel's exactness condition)."""
+    (the window kernel's exactness condition). Pass ``img_dtype`` (the image
+    dtype fed to the kernel) so the check runs on the kernel's effective
+    tiling (see :func:`_effective_tile_h`)."""
+    if img_dtype is not None:
+        tile_h = _effective_tile_h(img_dtype, tile_h)
     b, h, w, _ = flow.shape
     th = min(tile_h, _round_up(h, 8))
     tw = min(tile_w, _round_up(w, 128))
@@ -204,6 +221,7 @@ def backwarp_auto(img: jax.Array, flow: jax.Array, residual: int = 4,
                   lim: int = 24, tile_h: int = 16, tile_w: int = 128) -> jax.Array:
     """Exact backwarp: window fast path when the residual bound holds,
     packed-gather fallback otherwise (lax.cond — one branch executes)."""
+    tile_h = _effective_tile_h(img.dtype, tile_h)
     ok = residual_ok(flow, residual, lim, tile_h, tile_w)
     return lax.cond(
         ok,

@@ -63,4 +63,12 @@ def chained_time(fn, args, n_lo: int = 2, n_hi: int = 6, reps: int = 3) -> float
         return best
 
     t_lo, t_hi = run(g_lo), run(g_hi)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    dt = t_hi - t_lo
+    if dt <= 1e-6:
+        # Dispatch jitter swallowed the chain-length difference — a clamped
+        # value would silently report an absurd throughput figure.
+        raise RuntimeError(
+            f"chained_time: t(n={n_hi})={t_hi:.4f}s <= t(n={n_lo})={t_lo:.4f}s "
+            "(dispatch jitter dominates; increase n_hi or reps)"
+        )
+    return dt / (n_hi - n_lo)
