@@ -17,10 +17,34 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
-try:  # optional native decode acceleration (C++ loader, built separately)
-    from piv_liteflownet_tpu.data import _native_loader  # noqa: F401
-except Exception:  # pragma: no cover
-    _native_loader = None
+def native_loader_for(dataset, batch_size: int, num_workers: int = 4):
+    """Build a ``data.native.NativeBatchLoader`` over an inference ``Run``
+    dataset when the native fast path applies (all pair files are PGM/PPM of
+    one size — the formats the C++ decoder handles; PNG/TIFF datasets use the
+    Python loader's PIL threads). Returns None when inapplicable."""
+    try:
+        from piv_liteflownet_tpu.data.native import NativeBatchLoader, get_lib, image_read
+    except Exception:  # pragma: no cover
+        return None
+    if get_lib() is None:
+        return None
+    pairs = getattr(dataset, "pairs", None)
+    if not pairs:
+        return None
+    exts = {p.rsplit(".", 1)[-1].lower() for pair in pairs for p in pair}
+    if not exts <= {"pgm", "ppm"}:
+        return None
+    try:
+        probe = image_read(pairs[0][0])
+    except Exception:  # pragma: no cover
+        return None
+    h, w = probe.shape[0], probe.shape[1]
+    # oversubscription on small hosts collapses throughput (measured: 8
+    # threads on 1 cpu = 2.4 pairs/s vs 13.1 at 4; work/prof_ingest.py)
+    import os as _os
+
+    threads = max(2, min(num_workers, 4 * (_os.cpu_count() or 1)))
+    return NativeBatchLoader(pairs, batch_size, h, w, threads=threads)
 
 
 def _collate(samples):

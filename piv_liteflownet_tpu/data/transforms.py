@@ -56,11 +56,32 @@ class Pipeline:
     hflip: bool = False
     vflip: bool = False
     photometric: Optional[Photometric] = None
+    # crop-with-padding (reference Crop(padding=...), src/flow_transforms.py:
+    # 285-377): when the crop is larger than the (translated/scaled) frame,
+    # the frame is centered and the border filled with this rgb value
+    # ([0,1] floats here; the reference takes 0-255 ints); flow pads with 0.
+    # None keeps the reference's behavior of refusing oversized crops (we
+    # clamp-sample instead of raising).
+    pad_fill: Optional[Tuple[float, float, float]] = None
+    # RandomGaussianBlur(radius), applied to both frames of a sample with
+    # probability blur_prob (reference src/flow_transforms.py:89-104; its
+    # occurrence probability is fixed at 0.5). Runs on the cropped output.
+    blur_radius: float = 0.0
+    blur_prob: float = 0.5
+    # Normalize(mean, std) as the final stage (reference :405-435)
+    normalize_mean: Optional[Tuple[float, ...]] = None
+    normalize_std: Optional[Tuple[float, ...]] = None
 
 
-def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Gather img[y, x] bilinearly with edge clamping. img [H,W,C]; x,y [h,w]."""
+def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
+                     fill=None) -> jax.Array:
+    """Gather img[y, x] bilinearly with edge clamping. img [H,W,C]; x,y [h,w].
+    With ``fill``, out-of-frame samples return the fill vector instead of the
+    clamped edge (crop-with-padding semantics)."""
     h, w = img.shape[0], img.shape[1]
+    oob = None
+    if fill is not None:
+        oob = (x < -0.5) | (x > w - 0.5) | (y < -0.5) | (y > h - 0.5)
     x = jnp.clip(x, 0.0, w - 1.0)
     y = jnp.clip(y, 0.0, h - 1.0)
     x0 = jnp.floor(x)
@@ -76,12 +97,15 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     def g(yy, xx):
         return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(*x.shape, -1)
 
-    return (
+    out = (
         g(y0, x0) * (1 - wx) * (1 - wy)
         + g(y0, x1) * wx * (1 - wy)
         + g(y1, x0) * (1 - wx) * wy
         + g(y1, x1) * wx * wy
     )
+    if oob is not None:
+        out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)
+    return out
 
 
 def _sample_geometry(key, pipe: Pipeline, h: int, w: int):
@@ -118,6 +142,11 @@ def _sample_geometry(key, pipe: Pipeline, h: int, w: int):
         oy = jax.random.uniform(ks[6], ()) * max_oy
     else:
         ox, oy = max_ox / 2.0, max_oy / 2.0
+    if pipe.pad_fill is not None:
+        # oversized crop: center the frame in the fill border (reference
+        # Crop(padding=...) pads half each side then has zero offset range)
+        ox = ox + jnp.minimum(sw - cw, 0.0) / 2.0
+        oy = oy + jnp.minimum(sh - ch, 0.0) / 2.0
 
     if pipe.rotate:
         ang = jax.random.uniform(ks[7], (), minval=-pipe.rotate, maxval=pipe.rotate)
@@ -158,12 +187,14 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
     bx = jnp.maximum(0.0, -tw)
     by = jnp.maximum(0.0, -th)
 
-    out1 = _bilinear_sample(img1, xs + ax, ys + ay)
-    out2 = _bilinear_sample(img2, xs + bx, ys + by)
+    fill = pipe.pad_fill
+    out1 = _bilinear_sample(img1, xs + ax, ys + ay, fill=fill)
+    out2 = _bilinear_sample(img2, xs + bx, ys + by, fill=fill)
 
     new_flow = None
     if flow is not None:
-        f = _bilinear_sample(flow, xs + ax, ys + ay)
+        f = _bilinear_sample(flow, xs + ax, ys + ay,
+                             fill=None if fill is None else (0.0, 0.0))
         f = f + jnp.stack([tw, th])  # translate offset (reference :166-168)
         f = f * s  # scale rescales u, v (reference resize_flow contract)
         if pipe.rotate:
@@ -194,6 +225,19 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
 
         out1 = photo(out1, 0)
         out2 = photo(out2, 1)
+
+    if pipe.blur_radius > 0.0:
+        kblur = jax.random.fold_in(kp, 7)
+        do_blur = jax.random.bernoulli(kblur, pipe.blur_prob)
+        b1 = gaussian_blur(out1[None], pipe.blur_radius)[0]
+        b2 = gaussian_blur(out2[None], pipe.blur_radius)[0]
+        out1 = jnp.where(do_blur, b1, out1)
+        out2 = jnp.where(do_blur, b2, out2)
+
+    if pipe.normalize_mean is not None:
+        std = pipe.normalize_std if pipe.normalize_std is not None else (1.0,) * 3
+        out1 = normalize(out1, pipe.normalize_mean, std)
+        out2 = normalize(out2, pipe.normalize_mean, std)
 
     return out1, out2, new_flow
 

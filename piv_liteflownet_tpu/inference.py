@@ -35,10 +35,7 @@ def _adaptive_size(h: int, w: int, mult: int = 32) -> Tuple[int, int]:
     return int(math.ceil(h / mult) * mult), int(math.ceil(w / mult) * mult)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "out_h", "out_w", "precision")
-)
-def _estimate_jit(params, img1, img2, cfg, out_h, out_w, precision):
+def _estimate_impl(params, img1, img2, cfg, out_h, out_w, precision):
     """resize-to-/32 -> forward -> resize-back -> rescale, fully fused."""
     in_h, in_w = img1.shape[1], img1.shape[2]
     ah, aw = _adaptive_size(in_h, in_w)
@@ -50,12 +47,44 @@ def _estimate_jit(params, img1, img2, cfg, out_h, out_w, precision):
     return flow * scale
 
 
+_estimate_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "out_h", "out_w", "precision")
+)(_estimate_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "out_h", "out_w", "precision", "mesh")
+)
+def _estimate_sharded(params, img1, img2, cfg, out_h, out_w, precision, mesh):
+    """Data-parallel estimate over a ``data``-axis mesh: params replicated,
+    batch sharded, each device running the full single-chip pipeline on its
+    shard (``shard_map`` — no GSPMD partitioning of the Pallas kernels).
+
+    This is the multi-device inference route to the >=200 pairs/s north star
+    (BASELINE.md): the reference's only parallelism is the trainer-side
+    ``nn.parallel.DataParallel`` (reference ``trainer.py:371-376``); its
+    ``run.py`` is single-GPU.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(
+        _estimate_impl, cfg=cfg, out_h=out_h, out_w=out_w, precision=precision
+    )
+    return jax.shard_map(
+        lambda p, a, b: fn(p, a, b),
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"),
+    )(params, img1, img2)
+
+
 def estimate(
     model: Model,
     img1,
     img2,
     tensor: bool = False,
     precision="auto",
+    mesh=None,
 ):
     """Estimate flow for one pair or a batch of pairs.
 
@@ -66,6 +95,11 @@ def estimate(
     precision="auto": HIGHEST for f32 params (reference parity), native
     single-pass MXU for bf16 params (the fast path — HIGHEST on bf16 would
     upcast every conv and multiply compile size/time).
+
+    mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — the batch is
+    sharded over it (padded by repeating the last pair when B is not a
+    multiple of the axis size) and every device runs the full pipeline on
+    its shard. Aggregate throughput scales with the axis size.
     """
     # run in the params' dtype (bf16 fast path stays bf16 end to end)
     dtype = jnp.result_type(*(jax.tree.leaves(model.params)[:1] or [jnp.float32]))
@@ -78,7 +112,18 @@ def estimate(
         img1, img2 = img1[None], img2[None]
     assert img1.shape == img2.shape, "both frames must have the same shape"
     in_h, in_w = img1.shape[1], img1.shape[2]
-    flow = _estimate_jit(model.params, img1, img2, model.cfg, in_h, in_w, precision)
+    n = 1 if mesh is None else int(mesh.shape.get("data", 1))
+    if n > 1:
+        b = img1.shape[0]
+        pad = (-b) % n
+        if pad:
+            img1 = jnp.concatenate([img1, jnp.repeat(img1[-1:], pad, 0)], 0)
+            img2 = jnp.concatenate([img2, jnp.repeat(img2[-1:], pad, 0)], 0)
+        flow = _estimate_sharded(
+            model.params, img1, img2, model.cfg, in_h, in_w, precision, mesh
+        )[:b]
+    else:
+        flow = _estimate_jit(model.params, img1, img2, model.cfg, in_h, in_w, precision)
     if tensor or not single:
         return flow
     return np.asarray(flow[0])

@@ -50,6 +50,23 @@ def _build(cfg: ModelConfig, params=None, seed: int = 0) -> Model:
     return Model(cfg=cfg, params=params)
 
 
+def model_config_registry():
+    """Name -> ModelConfig factory, signatures reflected into the trainer's
+    ``--model_*`` flags (reference trainer.py:57-58 over src/models.py)."""
+
+    def LiteFlowNet(starting_scale=10.0, lowest_level=1,
+                    rgb_mean=list(PIV_MEAN_V1)):
+        return ModelConfig(version=1, starting_scale=starting_scale,
+                           lowest_level=lowest_level, rgb_mean=tuple(rgb_mean))
+
+    def LiteFlowNet2(starting_scale=10.0, lowest_level=2,
+                     rgb_mean=list(PIV_MEAN_V2)):
+        return ModelConfig(version=2, starting_scale=starting_scale,
+                           lowest_level=lowest_level, rgb_mean=tuple(rgb_mean))
+
+    return {"LiteFlowNet": LiteFlowNet, "LiteFlowNet2": LiteFlowNet2}
+
+
 def hui_liteflownet(params=None, version: int = 1, seed: int = 0) -> Model:
     """Original LiteFlowNet (Hui 2018) / LiteFlowNet2 (Hui 2020).
 

@@ -58,6 +58,14 @@ def make_train_step(
     def loss_fn(params, img1, img2, target):
         out = fwd(params, img1, img2, cfg, True, precision)
         lossvalue, epevalue = loss_obj(out, target)
+        # per-level losses (LevelLoss returns lists, reference
+        # src/loss.py:151-190) train on their sum; the reference trainer
+        # crashes on .backward() of a list, so the summed objective is the
+        # working equivalent of its intent
+        if isinstance(lossvalue, (tuple, list)):
+            lossvalue = sum(lossvalue)
+        if isinstance(epevalue, (tuple, list)):
+            epevalue = sum(epevalue)
         return lossvalue, epevalue
 
     def step(state: TrainState, img1, img2, target, key):
@@ -93,7 +101,24 @@ def make_eval_step(cfg: ModelConfig, loss_obj, mesh: Optional[Mesh] = None, prec
         # eval-mode forward returns the final SCALEFACTOR[1]-scaled flow; the
         # loss takes its non-list branch (reference src/loss.py:144-148)
         out = forward(params, img1, img2, cfg, train=False, precision=precision)
-        lossvalue, epevalue = loss_obj(out, target)
+        try:
+            lossvalue, epevalue = loss_obj(out, target)
+        except ValueError:
+            # losses without an eval branch (LevelLoss raises on non-list
+            # output, reference src/loss.py:173-174): score the final flow
+            # against the startScale-pooled target like MultiScale eval
+            from piv_liteflownet_tpu.training.loss import EPE, avg_pool
+
+            target_ = avg_pool(
+                getattr(loss_obj, "div_scale", 1.0) * target,
+                getattr(loss_obj, "startScale", 1),
+            )
+            epevalue = EPE(out, target_)
+            lossvalue = epevalue
+        if isinstance(lossvalue, (tuple, list)):
+            lossvalue = sum(lossvalue)
+        if isinstance(epevalue, (tuple, list)):
+            epevalue = sum(epevalue)
         return {"loss": lossvalue, "epe": epevalue}
 
     if mesh is None:

@@ -38,21 +38,138 @@ def param_group_labels(params: Dict[str, jax.Array], lowest_level: int) -> Dict[
     return labels
 
 
+# ---------------------------------------------------------------------------
+# Optimizer registry (reflective CLI surface)
+#
+# The reference exposes EVERY ``torch.optim`` class by name with
+# auto-generated ``--optimizer_<param>`` flags (reference ``trainer.py:60-66``,
+# ``src/utils.py:55-111``). The TPU equivalent: a registry of optax-backed
+# factories whose python signatures carry the torch parameter names/defaults —
+# ``utils.config.add_arguments_for_module`` reflects them into flags. Each
+# factory returns the *gradient direction* transform (pre-lr); the 4-group
+# wrapper below adds torch-style L2 decay (grad += wd*p), the negative lr
+# scale, and ``inject_hyperparams`` so schedulers can rewrite lr on device.
+# ---------------------------------------------------------------------------
+
+def _torch_Adam(betas=(0.9, 0.999), eps=1e-8, amsgrad=False):
+    if amsgrad:
+        return optax.scale_by_amsgrad(b1=betas[0], b2=betas[1], eps=eps), False
+    return optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps), False
+
+
+def _torch_AdamW(betas=(0.9, 0.999), eps=1e-8, amsgrad=False):
+    inner, _ = _torch_Adam(betas, eps, amsgrad)
+    return inner, True  # decoupled decay
+
+
+def _torch_SGD(momentum=0.0, dampening=0.0, nesterov=False):
+    del dampening  # optax.trace has no dampening; torch default is 0.0
+    return optax.trace(decay=momentum, nesterov=nesterov), False
+
+
+def _torch_RMSprop(alpha=0.99, eps=1e-8, momentum=0.0, centered=False):
+    inner = optax.scale_by_rms(decay=alpha, eps=eps) if not centered else \
+        optax.scale_by_stddev(decay=alpha, eps=eps)
+    if momentum:
+        inner = optax.chain(inner, optax.trace(decay=momentum))
+    return inner, False
+
+
+def _torch_Adagrad(eps=1e-10):
+    return optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps), False
+
+
+def _torch_Adadelta(rho=0.9, eps=1e-6):
+    return optax.scale_by_adadelta(rho=rho, eps=eps), False
+
+
+def _torch_Adamax(betas=(0.9, 0.999), eps=1e-8):
+    return optax.scale_by_adamax(b1=betas[0], b2=betas[1], eps=eps), False
+
+
+def _torch_NAdam(betas=(0.9, 0.999), eps=1e-8):
+    return optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps, nesterov=True), False
+
+
+def _torch_RAdam(betas=(0.9, 0.999), eps=1e-8):
+    return optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps), False
+
+
+def _extra_Lion(betas=(0.9, 0.99)):
+    return optax.scale_by_lion(b1=betas[0], b2=betas[1]), True
+
+
+def _extra_Lamb(betas=(0.9, 0.999), eps=1e-6):
+    return optax.chain(
+        optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        optax.scale_by_trust_ratio(),
+    ), True
+
+
+def _extra_Yogi(betas=(0.9, 0.999), eps=1e-3):
+    return optax.scale_by_yogi(b1=betas[0], b2=betas[1], eps=eps), False
+
+
+def _extra_Novograd(betas=(0.9, 0.25), eps=1e-8):
+    return optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps), False
+
+
+#: name -> factory(**kw) returning (direction_transform, decoupled_wd).
+#: torch.optim-parity names first, TPU-era extras after.
+OPTIMIZERS = {
+    "Adam": _torch_Adam,
+    "AdamW": _torch_AdamW,
+    "SGD": _torch_SGD,
+    "RMSprop": _torch_RMSprop,
+    "Adagrad": _torch_Adagrad,
+    "Adadelta": _torch_Adadelta,
+    "Adamax": _torch_Adamax,
+    "NAdam": _torch_NAdam,
+    "RAdam": _torch_RAdam,
+    "Lion": _extra_Lion,
+    "Lamb": _extra_Lamb,
+    "Yogi": _extra_Yogi,
+    "Novograd": _extra_Novograd,
+}
+# prune factories whose optax primitive is missing in this optax version
+OPTIMIZERS = {
+    k: v for k, v in OPTIMIZERS.items()
+    if all(hasattr(optax, a) for a in {
+        "Adam": ["scale_by_adam"], "AdamW": ["scale_by_adam"],
+        "SGD": ["trace"], "RMSprop": ["scale_by_rms", "scale_by_stddev"],
+        "Adagrad": ["scale_by_rss"], "Adadelta": ["scale_by_adadelta"],
+        "Adamax": ["scale_by_adamax"], "NAdam": ["scale_by_adam"],
+        "RAdam": ["scale_by_radam"], "Lion": ["scale_by_lion"],
+        "Lamb": ["scale_by_trust_ratio"], "Yogi": ["scale_by_yogi"],
+        "Novograd": ["scale_by_novograd"],
+    }[k])
+}
+
+
 def _group(optimizer: str, lr: float, wd: float, **kw):
+    try:
+        factory = next(f for n, f in OPTIMIZERS.items()
+                       if n.lower() == optimizer.lower())
+    except StopIteration:
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; available: {sorted(OPTIMIZERS)}"
+        ) from None
+    import inspect
+
+    accepted = set(inspect.signature(factory).parameters)
+    kw = {k: (tuple(v) if isinstance(v, list) else v)
+          for k, v in kw.items() if k in accepted and v is not None}
+
     def make(lr):
-        if optimizer.lower() == "adam":
-            inner = optax.scale_by_adam(
-                b1=kw.get("b1", 0.9), b2=kw.get("b2", 0.999), eps=kw.get("eps", 1e-8)
+        inner, decoupled = factory(**kw)
+        if decoupled:
+            # AdamW-style: update = -lr * (direction + wd * p)
+            return optax.chain(
+                inner,
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.scale(-lr),
             )
-        elif optimizer.lower() == "sgd":
-            inner = optax.trace(decay=kw.get("momentum", 0.0), nesterov=kw.get("nesterov", False))
-        elif optimizer.lower() == "adamw":
-            # decoupled decay handled by optax.adamw semantics
-            return optax.inject_hyperparams(
-                lambda lr: optax.adamw(lr, weight_decay=wd)
-            )(lr=lr)
-        else:
-            raise ValueError(f"unknown optimizer {optimizer!r} (Adam/SGD/AdamW)")
+        # torch-style L2: grad += wd * p BEFORE the moment update
         return optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             inner,
@@ -93,6 +210,60 @@ def multistep_lr(base_lr: float, epoch: int, milestones: Sequence[int], gamma: f
     gamma applies from the first epoch, reference ``trainer.py:73``).
     """
     return base_lr * (gamma ** bisect.bisect_right(sorted(milestones), epoch))
+
+
+# ---------------------------------------------------------------------------
+# LR-scheduler registry (reflective CLI surface)
+#
+# The reference exposes every ``torch.optim.lr_scheduler`` class by name with
+# auto ``--lr_scheduler_<param>`` flags (reference ``trainer.py:68-73``).
+# Schedulers here are pure functions epoch -> lr (stateless — resume needs no
+# scheduler state dict, unlike reference ``trainer.py:434-435``); factories
+# carry the torch parameter names for flag reflection.
+# ---------------------------------------------------------------------------
+
+def _sched_MultiStepLR(base_lr, epoch, milestones=(-1,), gamma=0.1):
+    return multistep_lr(base_lr, epoch, list(milestones), gamma)
+
+
+def _sched_StepLR(base_lr, epoch, step_size=30, gamma=0.1):
+    return base_lr * (gamma ** (epoch // step_size))
+
+
+def _sched_ExponentialLR(base_lr, epoch, gamma=0.95):
+    return base_lr * (gamma ** epoch)
+
+
+def _sched_CosineAnnealingLR(base_lr, epoch, T_max=50, eta_min=0.0):
+    import math
+
+    return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * epoch / T_max)) / 2
+
+
+def _sched_ConstantLR(base_lr, epoch):
+    del epoch
+    return base_lr
+
+
+SCHEDULERS = {
+    "MultiStepLR": _sched_MultiStepLR,
+    "StepLR": _sched_StepLR,
+    "ExponentialLR": _sched_ExponentialLR,
+    "CosineAnnealingLR": _sched_CosineAnnealingLR,
+    "ConstantLR": _sched_ConstantLR,
+    "None": _sched_ConstantLR,
+}
+
+
+def schedule_lr(name: str, base_lr: float, epoch: int, **kw) -> float:
+    """Evaluate scheduler ``name`` at ``epoch`` with its reflected kwargs
+    (unknown kwargs from the union flag surface are dropped)."""
+    import inspect
+
+    fn = SCHEDULERS[name]
+    accepted = set(inspect.signature(fn).parameters) - {"base_lr", "epoch"}
+    kw = {k: v for k, v in kw.items() if k in accepted and v is not None}
+    return fn(base_lr, epoch, **kw)
 
 
 def set_group_lrs(opt_state, lrs: Dict[str, float]):

@@ -44,9 +44,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=2,
                         help="Image pairs per device step (2 measured best per-pair for the full v1 pipeline @1024^2; see BASELINE.md).")
     parser.add_argument("--cpu", action="store_true", help="Force the CPU backend.")
+    parser.add_argument("--num_devices", "-d", type=int, default=1,
+                        help="Shard each batch over the first N devices (data-parallel "
+                             "inference; params replicated). Aggregate batch per step = "
+                             "batch_size * N.")
     parser.add_argument("--bf16", action="store_true",
                         help="Run params/activations in bfloat16 (fast path; "
                              "sub-0.1%% flow deltas vs float32).")
+    parser.add_argument("--native_io", action="store_true",
+                        help="Use the C++ pthread batch loader (libpivio) for "
+                             "image ingest — PGM/PPM pair datasets only; other "
+                             "formats fall back to the Python loader.")
     return parser
 
 
@@ -82,22 +90,33 @@ def image_mod(imgpath: str, brightness_factor: float = 1.0, contrast_factor: flo
     return img
 
 
-def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1, batch_size=1):
+def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1,
+            batch_size=1, mesh=None, native_io=False):
     """DataLoader-path inference (reference ``run.py:137-168``), batched."""
     from piv_liteflownet_tpu.data.datasets import Run
-    from piv_liteflownet_tpu.data.loader import BatchLoader
+    from piv_liteflownet_tpu.data.loader import BatchLoader, native_loader_for
     from piv_liteflownet_tpu.inference import estimate
     from piv_liteflownet_tpu.utils.flow_io import flowname_modifier, write_flow
 
     os.makedirs(savedir, exist_ok=True)
     ds = Run(root=inputdir, is_pair=is_pair, n_images=num_images, start_at=start_id)
     print(f"Processing {len(ds)} pairs of images...")
+    if mesh is not None:
+        batch_size *= int(mesh.shape.get("data", 1))
+    loader = None
+    if native_io:
+        loader = native_loader_for(ds, batch_size)
+        print("native I/O: " + ("enabled (libpivio pthread loader)" if loader
+                                else "unavailable for this dataset "
+                                     "(needs PGM/PPM pairs) — Python loader"))
+    if loader is None:
+        loader = BatchLoader(ds, batch_size=batch_size)
     # keep 2 device batches in flight: decode/dispatch overlaps drain+write
     from collections import deque
 
     inflight: deque = deque()
-    for (im1, im2), names in BatchLoader(ds, batch_size=batch_size):
-        inflight.append((estimate(model, im1, im2, tensor=True), names))
+    for (im1, im2), names in loader:
+        inflight.append((estimate(model, im1, im2, tensor=True, mesh=mesh), names))
         if len(inflight) > 2:
             flows, batch_names = inflight.popleft()
             flows = np.asarray(flows)
@@ -174,6 +193,17 @@ def main(argv=None):
                 params=jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.params),
             )
             block.log("bfloat16 fast path enabled")
+        mesh = None
+        if args.num_devices > 1:
+            from piv_liteflownet_tpu.parallel.mesh import make_mesh
+
+            n = min(args.num_devices, len(jax.devices()))
+            if n < args.num_devices:
+                block.log(f"WARNING: only {n} devices available "
+                          f"(requested {args.num_devices})")
+            if n > 1:
+                mesh = make_mesh(n)
+                block.log(f"Data-parallel inference over {n} devices")
         block.log(f"Running on {jax.default_backend()} ({jax.devices()[0].device_kind})")
 
     for i, imdir in enumerate(args.input):
@@ -201,7 +231,8 @@ def main(argv=None):
 
         if args.brightness is None and args.contrast is None:
             main_dl(model, imdir, flodir, is_pair=args.is_pair, start_id=args.start,
-                    num_images=args.num_images, batch_size=args.batch_size)
+                    num_images=args.num_images, batch_size=args.batch_size, mesh=mesh,
+                    native_io=args.native_io)
         else:
             brightness = (1.0,) if args.brightness is None else tuple(args.brightness)
             contrast = (1.0,) if args.contrast is None else tuple(args.contrast)

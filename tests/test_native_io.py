@@ -81,3 +81,59 @@ def test_native_batch_loader(tmp_path):
     # batches arrive in order
     ref3 = np.asarray(I.open(pairs[4][0]).convert("RGB"), np.float32) / 255.0
     np.testing.assert_allclose(batches[2][0][0][0], ref3, atol=1e-6)
+
+
+def test_native_loader_for_gating(tmp_path):
+    """native_loader_for: native path for PGM/PPM Run datasets, None for PNG."""
+    from PIL import Image
+
+    from piv_liteflownet_tpu.data.datasets import Run
+    from piv_liteflownet_tpu.data.loader import native_loader_for
+
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        for tag in ("img1", "img2"):
+            Image.fromarray((rng.random((16, 24, 3)) * 255).astype(np.uint8)).save(
+                str(tmp_path / f"s{i}_{tag}.ppm"))
+    ds = Run(root=str(tmp_path), is_pair=True)
+    loader = native_loader_for(ds, batch_size=2)
+    assert loader is not None
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 2 and batches[0][0][0].shape == (2, 16, 24, 3)
+
+    png_dir = tmp_path / "png"
+    png_dir.mkdir()
+    for tag in ("img1", "img2"):
+        Image.fromarray((rng.random((16, 24, 3)) * 255).astype(np.uint8)).save(
+            str(png_dir / f"s0_{tag}.png"))
+    assert native_loader_for(Run(root=str(png_dir), is_pair=True), 2) is None
+
+
+def test_run_cli_native_io(tmp_path):
+    """run.py --native_io produces the same flows as the Python loader."""
+    import importlib.util
+    import os
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location("repo_run", "/root/repo/run.py")
+    run_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_cli)
+    from piv_liteflownet_tpu.utils.flow_io import read_flow
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        for tag in ("img1", "img2"):
+            Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+                os.path.join(indir, f"p{i:02d}_{tag}.ppm"))
+
+    args = ["--model", "piv", "-v", "1", "-p", "-i", indir, "--cpu"]
+    run_cli.main(args + ["-o", str(tmp_path / "py")])
+    run_cli.main(args + ["-o", str(tmp_path / "nat"), "--native_io"])
+    for name in ("p00_img1_out.flo", "p02_img1_out.flo"):
+        f_py = read_flow(str(tmp_path / "py" / "PIV-LiteFlowNet-en" / "in" / "flow" / name))
+        f_nat = read_flow(str(tmp_path / "nat" / "PIV-LiteFlowNet-en" / "in" / "flow" / name))
+        np.testing.assert_allclose(f_nat, f_py, atol=1e-5)

@@ -95,3 +95,47 @@ def test_gaussian_blur_and_normalize():
     assert float(jnp.var(blurred)) < float(jnp.var(img))  # smoothing reduces variance
     normed = normalize(img, mean=[0.5, 0.5, 0.5], std=[2.0, 2.0, 2.0])
     np.testing.assert_allclose(np.asarray(normed), (np.asarray(img) - 0.5) / 2.0, atol=1e-6)
+
+
+def test_crop_with_padding_centers_and_fills():
+    """Oversized crop: frame centered, border filled with pad_fill, flow 0
+    (reference Crop(padding=...), src/flow_transforms.py:285-377)."""
+    h = w = 32
+    img1 = np.ones((1, h, w, 3), np.float32) * 0.5
+    img2 = np.ones((1, h, w, 3), np.float32) * 0.5
+    flow = np.ones((1, h, w, 2), np.float32)
+    pipe = Pipeline(crop_size=(64, 64), crop_type="center",
+                    pad_fill=(0.1, 0.2, 0.3))
+    o1, o2, of = apply_pipeline(
+        jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), pipe)
+    o1, of = np.asarray(o1), np.asarray(of)
+    assert o1.shape == (1, 64, 64, 3)
+    # center is the frame, corner is the fill
+    np.testing.assert_allclose(o1[0, 32, 32], [0.5, 0.5, 0.5], atol=1e-5)
+    np.testing.assert_allclose(o1[0, 2, 2], [0.1, 0.2, 0.3], atol=1e-5)
+    np.testing.assert_allclose(of[0, 32, 32], [1.0, 1.0], atol=1e-5)
+    np.testing.assert_allclose(of[0, 2, 2], [0.0, 0.0], atol=1e-5)
+
+
+def test_pipeline_blur_and_normalize_fields():
+    rng = np.random.default_rng(1)
+    img1 = rng.random((2, 32, 32, 3), dtype=np.float32)
+    img2 = rng.random((2, 32, 32, 3), dtype=np.float32)
+    flow = rng.random((2, 32, 32, 2), dtype=np.float32)
+    base = Pipeline(crop_size=(32, 32), crop_type="center")
+    o1, _, _ = apply_pipeline(jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), base)
+    # blur_prob=1: output variance drops for every sample
+    pipe_b = Pipeline(crop_size=(32, 32), crop_type="center",
+                      blur_radius=2.0, blur_prob=1.0)
+    b1, _, _ = apply_pipeline(jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), pipe_b)
+    assert float(jnp.var(b1)) < float(jnp.var(o1))
+    # blur_prob=0: bit-identical to base
+    pipe_nb = Pipeline(crop_size=(32, 32), crop_type="center",
+                       blur_radius=2.0, blur_prob=0.0)
+    nb1, _, _ = apply_pipeline(jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), pipe_nb)
+    np.testing.assert_allclose(np.asarray(nb1), np.asarray(o1), atol=1e-6)
+    # normalize applies last
+    pipe_n = Pipeline(crop_size=(32, 32), crop_type="center",
+                      normalize_mean=(0.5, 0.5, 0.5), normalize_std=(2.0, 2.0, 2.0))
+    n1, _, _ = apply_pipeline(jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), pipe_n)
+    np.testing.assert_allclose(np.asarray(n1), (np.asarray(o1) - 0.5) / 2.0, atol=1e-5)

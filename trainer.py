@@ -52,36 +52,45 @@ def build_parser():
     parser.add_argument("--resume", default="", type=str, metavar="PATH",
                         help="path to checkpoint directory to resume from")
 
-    model_registry = {"LiteFlowNet": None, "LiteFlowNet2": None}  # versions of the same family
+    from piv_liteflownet_tpu.models.factory import model_config_registry
+    from piv_liteflownet_tpu.training import optim as optim_mod
+
+    # model group: real ModelConfig factories, flags reflected from their
+    # signatures (reference trainer.py:57-58 over src/models.py classes)
     cfgutil.add_arguments_for_module(
-        parser, model_registry, "model", default="LiteFlowNet",
+        parser, model_config_registry(), "model", default="LiteFlowNet",
         parameter_defaults={
             "starting_scale": 10.0,
             "lowest_level": 1,
             "rgb_mean": [0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793],
         },
     )
-    # model registry entries are resolved manually below (ModelConfig)
-    parser.add_argument("--model_starting_scale", type=float, default=10.0)
-    parser.add_argument("--model_lowest_level", type=int, default=1)
-    parser.add_argument("--model_rgb_mean", type=float, nargs="+",
-                        default=[0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793])
 
     cfgutil.add_arguments_for_module(
-        parser, {"MultiScale": loss_mod.MultiScale, "L1Loss": loss_mod.L1Loss,
-                 "L2Loss": loss_mod.L2Loss}, "loss", default="MultiScale",
+        parser, {"MultiScale": loss_mod.MultiScale, "LevelLoss": loss_mod.LevelLoss,
+                 "L1Loss": loss_mod.L1Loss, "L2Loss": loss_mod.L2Loss},
+        "loss", default="MultiScale",
         parameter_defaults={
             "div_scale": 0.2, "startScale": 1,
             "l_weight": [0.001, 0.001, 0.001, 0.001, 0.001, 0.01], "norm": "L2",
         },
     )
-    parser.add_argument("--optimizer", type=str, default="Adam", choices=["Adam", "SGD", "AdamW"])
+    # optimizer group: every optax-backed registry entry selectable by its
+    # torch name, its factory params reflected into --optimizer_* flags
+    # (reference trainer.py:60-66 over torch.optim)
+    cfgutil.add_arguments_for_module(
+        parser, optim_mod.OPTIMIZERS, "optimizer", default="Adam",
+    )
     parser.add_argument("--optimizer_lr", type=float, default=1e-3)
     parser.add_argument("--optimizer_low_lr", type=float, default=6e-5,
                         help="fixed lr for NetE levels < 4 (reference trainer.py:406)")
-    parser.add_argument("--lr_scheduler", type=str, default="MultiStepLR", choices=["MultiStepLR", "None"])
-    parser.add_argument("--lr_scheduler_milestones", type=int, nargs="+", default=[-1])
-    parser.add_argument("--lr_scheduler_gamma", type=float, default=0.1)
+    # lr_scheduler group: stateless epoch->lr functions by torch name
+    # (reference trainer.py:68-73 over torch.optim.lr_scheduler)
+    cfgutil.add_arguments_for_module(
+        parser, optim_mod.SCHEDULERS, "lr_scheduler", default="MultiStepLR",
+        skip_params=["base_lr", "epoch"],
+        parameter_defaults={"milestones": [-1], "gamma": 0.1},
+    )
 
     dataset_registry = {"PIVData": dsets.PIVData, "PIVH5": dsets.PIVH5, "PIVLMDB": dsets.PIVLMDB}
     cfgutil.add_arguments_for_module(
@@ -200,7 +209,7 @@ class Train:
                         filename=filename, metadata=meta)
 
     def __call__(self):
-        from piv_liteflownet_tpu.training.optim import multistep_lr, set_group_lrs
+        from piv_liteflownet_tpu.training.optim import schedule_lr, set_group_lrs
 
         best_err = getattr(self.args, "best_err", 1e8)
         best_epoch = self.args.start_epoch
@@ -222,11 +231,12 @@ class Train:
                                            step=epoch, epoch=epoch)
                 self.experiment.log_metric("best_epoch", best_epoch)
 
-            if self.args.lr_scheduler == "MultiStepLR":
-                lr = multistep_lr(self.args.optimizer_lr, epoch,
-                                  self.args.lr_scheduler_milestones, self.args.lr_scheduler_gamma)
-                low = multistep_lr(self.args.optimizer_low_lr, epoch,
-                                   self.args.lr_scheduler_milestones, self.args.lr_scheduler_gamma)
+            if self.args.lr_scheduler not in ("None", "ConstantLR"):
+                from piv_liteflownet_tpu.utils.config import kwargs_from_args
+
+                sk = kwargs_from_args(self.args, "lr_scheduler")
+                lr = schedule_lr(self.args.lr_scheduler, self.args.optimizer_lr, epoch, **sk)
+                low = schedule_lr(self.args.lr_scheduler, self.args.optimizer_low_lr, epoch, **sk)
                 self.state.opt_state = set_group_lrs(
                     self.state.opt_state, {"w_hi": lr, "b_hi": lr, "w_lo": low, "b_lo": low})
                 self.experiment.log_metric("current_lr", lr, step=epoch, epoch=epoch)
@@ -266,12 +276,8 @@ def main(argv=None):
         log_arguments(block, args, parser)
 
     with TimerBlock("Building {} model".format(args.model)) as block:
-        cfg = ModelConfig(
-            version=2 if args.model == "LiteFlowNet2" else 1,
-            starting_scale=args.model_starting_scale,
-            lowest_level=args.model_lowest_level,
-            rgb_mean=tuple(args.model_rgb_mean),
-        )
+        cfg = cfgutil.instance_from_args(parser, args, "model")
+        assert isinstance(cfg, ModelConfig)
         params = init_params(cfg, jax.random.PRNGKey(args.seed))
         if args.pretrained:
             if args.pretrained.endswith(".npz"):
@@ -299,9 +305,11 @@ def main(argv=None):
         n_dev = args.number_devices if args.number_devices > 0 else len(jax.devices())
         mesh = make_mesh(n_dev)
         block.log(f"mesh: {mesh}")
+        opt_kwargs = cfgutil.kwargs_from_args(args, "optimizer", skip=("lr", "low_lr"))
         tx, labels = make_optimizer(params, cfg.lowest_level, optimizer=args.optimizer,
                                     lr=args.optimizer_lr, low_lr=args.optimizer_low_lr,
-                                    weight_decay=args.weight_decay, bias_decay=args.bias_decay)
+                                    weight_decay=args.weight_decay, bias_decay=args.bias_decay,
+                                    **opt_kwargs)
         loss_obj = cfgutil.instance_from_args(parser, args, "loss")
         pipeline = get_transform(crop_size=tuple(args.crop_size), mode="train")
         train_step = make_train_step(cfg, loss_obj, tx, mesh=mesh, pipeline=pipeline)
@@ -324,18 +332,17 @@ def main(argv=None):
             opt_state = jax.device_put(restored["opt_state"], replicated(mesh))
             args.start_epoch = int(restored["epoch"]) + 1
             args.best_err = float(restored["best_epe"])
-            if args.lr_scheduler == "MultiStepLR":
+            if args.lr_scheduler not in ("None", "ConstantLR"):
                 # the original run stepped the scheduler AFTER the checkpoint
                 # was written (end of epoch E); re-derive epoch-E group lrs so
-                # epoch E+1 resumes under the same schedule
-                # (reference restores the scheduler state dict,
-                # trainer.py:383-396)
-                from piv_liteflownet_tpu.training.optim import multistep_lr, set_group_lrs
+                # epoch E+1 resumes under the same schedule (schedulers here
+                # are stateless epoch->lr functions — no state dict needed,
+                # unlike reference trainer.py:434-435)
+                from piv_liteflownet_tpu.training.optim import schedule_lr, set_group_lrs
                 e = args.start_epoch - 1
-                lr = multistep_lr(args.optimizer_lr, e,
-                                  args.lr_scheduler_milestones, args.lr_scheduler_gamma)
-                low = multistep_lr(args.optimizer_low_lr, e,
-                                   args.lr_scheduler_milestones, args.lr_scheduler_gamma)
+                sk = cfgutil.kwargs_from_args(args, "lr_scheduler")
+                lr = schedule_lr(args.lr_scheduler, args.optimizer_lr, e, **sk)
+                low = schedule_lr(args.lr_scheduler, args.optimizer_low_lr, e, **sk)
                 opt_state = set_group_lrs(
                     opt_state, {"w_hi": lr, "b_hi": lr, "w_lo": low, "b_lo": low})
             state = TrainState(

@@ -29,6 +29,17 @@ from piv_liteflownet_tpu.ops.warp import backwarp
 key = jax.random.PRNGKey(0)
 
 
+def dep(fn):
+    """Make every argument depend on the (perturbed) first one, so the
+    chained-timing scan cannot loop-hoist the expensive ops that only read
+    the later args (XLA loop-invariant code motion — the gather of img2 is
+    otherwise computed ONCE outside the chain)."""
+    def g(a, *rest):
+        eps = jnp.sum(a).astype(jnp.float32) * jnp.float32(1e-30)
+        return fn(a, *[r + eps.astype(r.dtype) for r in rest])
+    return g
+
+
 def smooth_flow(b, h, w, mag=3.0):
     f = (jax.random.uniform(key, (b, h // 16, w // 16, 2), jnp.float32) - 0.5) * 2 * mag
     f = jax.image.resize(f, (b, h, w, 2), "linear")
@@ -44,7 +55,7 @@ for size in (1024, 512):
     for name, fn in (("gather", rgb_warp_norm_gather),
                      ("pallas", lambda a, c, f: rgb_warp_norm_pallas(a, c, f))):
         try:
-            t = chained_time(fn, (img1, img2, flow), n_lo=2, n_hi=10)
+            t = chained_time(dep(fn), (img1, img2, flow), n_lo=2, n_hi=10)
             print(f"rgbnorm {size}^2 b{b} {name}: {t*1000/b:7.3f} ms/pair", flush=True)
         except Exception as e:
             print(f"rgbnorm {size}^2 b{b} {name}: FAILED {type(e).__name__}: {str(e)[:250]}",
@@ -65,7 +76,7 @@ for size, c in ((1024, 64), (512, 64)):
         ("tent r4", lambda a, f: feat_warp_pallas(a, f, r=4)),
     ):
         try:
-            t = chained_time(fn, (img, flow), n_lo=2, n_hi=10)
+            t = chained_time(dep(fn), (img, flow), n_lo=2, n_hi=10)
             print(f"featwarp {size}^2xc{c} b{b} {name}: {t*1000/b:7.3f} ms/pair", flush=True)
         except Exception as e:
             print(f"featwarp {size}^2xc{c} b{b} {name}: FAILED {type(e).__name__}: {str(e)[:250]}",
