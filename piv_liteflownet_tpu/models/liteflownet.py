@@ -100,6 +100,13 @@ class ModelConfig:
     #    exactness guaranteed. The warped rgb never touches HBM.
     #  - "pallas": the kernel unguarded (clamps out-of-window flow).
     rgb_norm: str = "gather"
+    # NetE conv-stack implementation ("xla" | "pallas"):
+    #  - "xla": lax.conv_general_dilated per conv (differentiable; XLA's
+    #    big-frame conv tiling needs batch >= 8 for full MXU rate).
+    #  - "pallas": whole M/S/R stacks as single fused kernels with
+    #    VMEM-resident intermediates (ops/pallas_conv.py) — removes the
+    #    b<8 scheduling penalty. Forward-only: training always uses "xla".
+    conv_impl: str = "xla"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
@@ -345,6 +352,27 @@ def _batch_to_space(y, k: int, halo: int):
     )
 
 
+def _use_pallas_convs(cfg: ModelConfig, shape) -> bool:
+    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+    return (
+        cfg.conv_impl == "pallas"
+        and get_spatial_ctx() is None
+        and shape[1] >= 32 and shape[2] >= 32
+    )
+
+
+def _pallas_chain(p: Params, prefix: str, n_convs: int, parts,
+                  last_linear: bool):
+    """Run a whole ``<prefix>.{0,2,...}`` conv stack as ONE fused Pallas
+    kernel (ops/pallas_conv.py) over the virtual concat of ``parts``."""
+    from piv_liteflownet_tpu.ops.pallas_conv import conv_chain_pallas
+
+    weights = [p[f"{prefix}.{2 * ci}.weight"] for ci in range(n_convs)]
+    biases = [p[f"{prefix}.{2 * ci}.bias"] for ci in range(n_convs)]
+    return _bar(conv_chain_pallas(parts, weights, biases, last_linear=last_linear))
+
+
 def _cl(p: Params, name: str, x, stride=1, padding=0, precision=None):
     """conv + LeakyReLU(0.1)"""
     return leaky_relu(
@@ -434,6 +462,9 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
 
     x = corr
     n_convs = 4 if cfg.version == 1 else 6
+    if _use_pallas_convs(cfg, x.shape):
+        x = _pallas_chain(p, f"{pfx}.conv_M", n_convs, [x], last_linear=True)
+        return x + flow if flow is not None else x
     halo = (n_convs - 1) + PLAST[level]
     k = _band_plan(x.shape, halo) if cfg.conv_bands else 1
     if k > 1:
@@ -456,9 +487,11 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     else:
         f2w = _warp(cfg, f2, flow * sf)
     n_convs = 4 if cfg.version == 1 else 6
+    parts = [f1, f2w, flow]
+    if _use_pallas_convs(cfg, f1.shape):
+        return _pallas_chain(p, f"{pfx}.conv_S", n_convs, parts, last_linear=True) + flow
     halo = (n_convs - 1) + PLAST[level]
     k = _band_plan(f1.shape, halo) if cfg.conv_bands else 1
-    parts = [f1, f2w, flow]
     if k > 1:
         parts = [_space_to_batch(t, k, halo) for t in parts]
     # first conv split per concat part: keeps the feature convs 128-lane
@@ -521,6 +554,10 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
 
     if "Rconv" in cfg.ablate:  # skip the 6-conv stack, keep dist+smooth
         x = jnp.pad(feat_r[..., :32], ((0, 0),) * 3 + ((0, max(0, 32 - feat_r.shape[-1])),))
+    elif bk == 1 and _use_pallas_convs(cfg, norm.shape):
+        # all six convs carry LeakyReLU (reference src/models.py:252-260)
+        x = _pallas_chain(p, f"{pfx}.conv_R", 6, [norm, rm_flow, feat_r],
+                          last_linear=False)
     else:
         x = _cl_split(p, f"{pfx}.conv_R.0", [norm, rm_flow, feat_r], 1, precision)
         for ci in range(1, 6):
@@ -568,6 +605,9 @@ def forward(
         # training keeps the plain gather warp: simplest exact gradients and
         # reference-parity backprop (no cond branches in the backward graph)
         cfg = dataclasses.replace(cfg, warp_impl="gather")
+    if train and cfg.conv_impl != "xla":
+        # the fused conv-chain kernel is forward-only
+        cfg = dataclasses.replace(cfg, conv_impl="xla")
 
     mean = jnp.asarray(cfg.rgb_mean, img1.dtype)
     x1 = img1 - mean[:3]

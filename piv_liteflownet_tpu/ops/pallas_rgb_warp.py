@@ -45,49 +45,60 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _norm_kernel(sy_ref, img1_ref, u_ref, rv_ref, img2_ref, out_ref,
-                 slab_ref, wx_ref, sem, *, th, cw, sh, r, lim, nx, ny):
+                 slab_ref, sems, *, th, cw, sh, r, lim, nx, ny, ns):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ib = pl.program_id(0)
     ti = pl.program_id(1)
 
-    sy = pl.multiple_of(sy_ref[ib, ti], 8)
-    dma = pltpu.make_async_copy(
-        img2_ref.at[ib, :, pl.ds(sy, sh), :], slab_ref, sem,
-    )
-    dma.start()
+    # One 384-lane slab per 128-column segment: each segment has its own
+    # y-base (the r2-granularity 16x128 tiling — a single full-width base
+    # fails real flows whose v varies more than r across the row band).
+    # Slab x origin for segment j is padded-image lane 128*j (128-aligned,
+    # the lane-dim DMA constraint); output col c samples slab-local lane
+    # c + 128 + u, so tap dx reads [128 - lim + dx : ... + 128).
+    dmas = []
+    for j in range(ns):
+        sy = pl.multiple_of(sy_ref[ib, ti, j], 8)
+        d = pltpu.make_async_copy(
+            img2_ref.at[ib, :, pl.ds(sy, sh), pl.ds(128 * j, 384)],
+            slab_ref.at[j],
+            sems.at[j],
+        )
+        d.start()
+        dmas.append(d)
 
     dt = slab_ref.dtype
-    one = jnp.asarray(1.0, dt)
-    zero = jnp.zeros((), dt)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
 
-    # x tent weight planes, hoisted out of the tap loops (each is reused by
-    # all ny y-taps; the 3 channels share the full weight product).
-    u = u_ref[0].astype(dt)  # (th, cw)
-    for dx in range(nx):
-        wx_ref[dx] = jnp.maximum(zero, one - jnp.abs(u - jnp.asarray(dx - lim, dt)))
+    u = u_ref[0]    # (th, cw) f32
+    rv = rv_ref[0]  # (th, cw) f32: per-segment v residual incl. DMA phase
 
-    rv = rv_ref[0].astype(dt)  # (th, cw): v residual incl. 0..7 DMA phase
-
-    dma.wait()
-
-    # acc_c = sum_dy sum_dx wy[dy] * wx[dx] * slab[c, dy:dy+th, dx:dx+cw].
-    # dy/dx loops are static (python) so every slab read is a static 2D
-    # shifted slice; accumulation is by VALUE.
-    accs = [jnp.zeros((th, cw), dt) for _ in range(3)]
-    for dy in range(ny):
-        wy = jnp.maximum(zero, one - jnp.abs(rv - jnp.asarray(dy - r, dt)))
-        for dx in range(nx):
-            wprod = wy * wx_ref[dx]
-            for c in range(3):
-                accs[c] = accs[c] + wprod * slab_ref[c, dy:dy + th, dx:dx + cw]
-
-    nsq = jnp.zeros((th, cw), jnp.float32)
-    for c in range(3):
-        d = (img1_ref[0, c] - accs[c]).astype(jnp.float32)
-        nsq = nsq + d * d
-    out_ref[0] = jnp.sqrt(nsq).astype(out_ref.dtype)
+    out = []
+    for j in range(ns):
+        dmas[j].wait()
+        sl = 128 * j
+        uj = u[:, sl:sl + 128]
+        rvj = rv[:, sl:sl + 128]
+        wxs = [jnp.maximum(zero, one - jnp.abs(uj - jnp.float32(dx - lim)))
+               for dx in range(nx)]
+        accs = [jnp.zeros((th, 128), jnp.float32) for _ in range(3)]
+        for dy in range(ny):
+            wy = jnp.maximum(zero, one - jnp.abs(rvj - jnp.float32(dy - r)))
+            for dx in range(nx):
+                wprod = wy * wxs[dx]
+                base = 128 - lim + dx
+                for c in range(3):
+                    tap = slab_ref[j, c, dy:dy + th, base:base + 128]
+                    accs[c] = accs[c] + wprod * tap.astype(jnp.float32)
+        nsq = jnp.zeros((th, 128), jnp.float32)
+        for c in range(3):
+            d = img1_ref[0, c, :, sl:sl + 128].astype(jnp.float32) - accs[c]
+            nsq = nsq + d * d
+        out.append(jnp.sqrt(nsq))
+    out_ref[0] = jnp.concatenate(out, axis=1).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -98,7 +109,7 @@ def rgb_warp_norm_pallas(
     img1: jax.Array,
     img2: jax.Array,
     flow: jax.Array,
-    r: int = 2,
+    r: int = 3,
     lim: int = 8,
     tile_h: int = 16,
     interpret: bool = False,
@@ -110,50 +121,46 @@ def rgb_warp_norm_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, _ = img1.shape
+    assert lim <= 120, "x tent must fit the 128-lane segment halo"
     th = min(tile_h, h)
     nty = -(-h // th)
     hp_rows = nty * th
     nx = 2 * lim + 2
     ny = 2 * r + 9  # r-tent + 0..7 DMA alignment phase
-    cw = _round_up(w, 128)          # compute width (lanes)
-    swp = _round_up(cw + nx - 1, 128)  # slab width
+    cw = _round_up(w, 128)  # compute width (lanes); ns 128-col segments
+    ns = cw // 128
     sh = _round_up(th + ny - 1, 8)
     dtype = img1.dtype
 
-    # planar images; img2 padded so any guarded window stays in bounds:
-    # x origin of the slab is global x = -lim (left pad of lim).
+    # planar images; img2 padded so any guarded window stays in bounds.
+    # x: 128 lanes each side (segment slabs are 3 aligned 128-blocks wide,
+    # origin at padded lane 128*j = global x 128*(j-1)).
     my = lim + r + 16
     p1 = jnp.moveaxis(img1, -1, 1)  # [B,3,H,W]
     p1 = jnp.pad(p1, ((0, 0), (0, 0), (0, hp_rows - h), (0, cw - w)))
     p2 = jnp.moveaxis(img2, -1, 1)
     p2 = jnp.pad(
         p2,
-        ((0, 0), (0, 0), (my, my + (hp_rows - h) + sh), (lim, swp - w - lim)),
+        ((0, 0), (0, 0), (my, my + (hp_rows - h) + sh), (128, 256 + cw - w)),
     )
 
     f = flow.astype(jnp.float32)
-    if hp_rows != h:
-        f = jnp.pad(f, ((0, 0), (0, hp_rows - h), (0, 0), (0, 0)), mode="edge")
+    if hp_rows != h or cw != w:
+        f = jnp.pad(f, ((0, 0), (0, hp_rows - h), (0, cw - w), (0, 0)),
+                    mode="edge")
     u, v = f[..., 0], f[..., 1]
-    # per-row-band y base (the x tent is global over [-lim, lim])
+    # per-(th x 128)-tile y base
     vmean = lax.reduce_window(
-        v, 0.0, lax.add, (1, th, v.shape[2]), (1, th, v.shape[2]), "VALID"
-    ) / float(th * v.shape[2])  # [B, nty, 1]
+        v, 0.0, lax.add, (1, th, 128), (1, th, 128), "VALID"
+    ) / float(th * 128)  # [B, nty, ns]
     bv = jnp.clip(jnp.round(vmean), -float(lim), float(lim)).astype(jnp.int32)
 
     iy = lax.broadcasted_iota(jnp.int32, (1, nty, 1), 1) * th
     sy_raw = iy + bv + (my - r)
     sy = (sy_raw // 8) * 8
     phase = (sy_raw - sy).astype(jnp.float32)  # 0..7
-    rv = (
-        v
-        - jnp.repeat(bv.astype(jnp.float32), th, axis=1)
-        + jnp.repeat(phase, th, axis=1)
-    )
-    sy = sy[:, :, 0]  # [B, nty]
-
-    up = jnp.pad(u, ((0, 0), (0, 0), (0, cw - w)))
-    rvp = jnp.pad(rv, ((0, 0), (0, 0), (0, cw - w)))
+    corr = phase - bv.astype(jnp.float32)      # [B, nty, ns]
+    rv = v + jnp.repeat(jnp.repeat(corr, th, axis=1), 128, axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -170,37 +177,38 @@ def rgb_warp_norm_pallas(
         out_specs=pl.BlockSpec((1, th, cw), lambda ib, i, *_: (ib, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, sh, swp), dtype),
-            pltpu.VMEM((nx, th, cw), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((ns, 3, sh, 384), dtype),
+            pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_norm_kernel, th=th, cw=cw, sh=sh, r=r,
-                          lim=lim, nx=nx, ny=ny),
+                          lim=lim, nx=nx, ny=ny, ns=ns),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hp_rows, cw), dtype),
         interpret=interpret,
-    )(sy, p1, up, rvp, p2)
+    )(sy, p1, u, rv, p2)
     return out[:, :h, :w, None]
 
 
-def rgb_norm_bounds_ok(flow: jax.Array, r: int = 2, lim: int = 8,
+def rgb_norm_bounds_ok(flow: jax.Array, r: int = 3, lim: int = 8,
                        tile_h: int = 16) -> jax.Array:
     """Scalar bool: the kernel's exactness conditions hold — |u| <= lim and
-    per-row-band |v - round(band mean v)| <= r (band mean clipped to lim)."""
+    per-(th x 128)-tile |v - round(tile mean v)| <= r (mean clipped to lim)."""
     b, h, w, _ = flow.shape
     th = min(tile_h, h)
     nty = -(-h // th)
+    cw = _round_up(w, 128)
     f = flow.astype(jnp.float32)
-    if nty * th != h:
-        f = jnp.pad(f, ((0, 0), (0, nty * th - h), (0, 0), (0, 0)), mode="edge")
+    if nty * th != h or cw != w:
+        f = jnp.pad(f, ((0, 0), (0, nty * th - h), (0, cw - w), (0, 0)),
+                    mode="edge")
     u, v = f[..., 0], f[..., 1]
     vmean = lax.reduce_window(
-        v, 0.0, lax.add, (1, th, v.shape[2]), (1, th, v.shape[2]), "VALID"
-    ) / float(th * v.shape[2])
+        v, 0.0, lax.add, (1, th, 128), (1, th, 128), "VALID"
+    ) / float(th * 128)
     bv = jnp.clip(jnp.round(vmean), -float(lim), float(lim))
-    rv = v - jnp.repeat(bv, th, axis=1)
+    rv = v - jnp.repeat(jnp.repeat(bv, th, axis=1), 128, axis=2)
     return (jnp.max(jnp.abs(u)) <= float(lim)) & (jnp.max(jnp.abs(rv)) <= float(r))
 
 
@@ -214,7 +222,7 @@ def rgb_warp_norm_gather(img1: jax.Array, img2: jax.Array,
 
 
 def rgb_warp_norm(img1: jax.Array, img2: jax.Array, flow: jax.Array,
-                  r: int = 2, lim: int = 8, tile_h: int = 16) -> jax.Array:
+                  r: int = 3, lim: int = 8, tile_h: int = 16) -> jax.Array:
     """Exact occlusion norm ``sqrt(sum_c (img1 - backwarp(img2, flow))^2)``:
     fused planar kernel when the tent bounds hold (checked ON DEVICE),
     packed-gather fallback otherwise."""

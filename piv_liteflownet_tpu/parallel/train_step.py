@@ -17,6 +17,7 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -42,6 +43,7 @@ def make_train_step(
     pipeline: Optional[Pipeline] = None,
     precision=None,
     remat: bool = False,
+    compute_dtype=None,
 ) -> Callable:
     """Build ``step(state, img1, img2, target, key) -> (state, metrics)``.
 
@@ -49,6 +51,11 @@ def make_train_step(
     With ``pipeline``, augmentation+crop run on device first. With ``mesh``,
     the step is jitted with batch sharded over the mesh's first axis and the
     state replicated.
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 while
+    the master params, the loss pyramid, and the optimizer state stay f32
+    (mixed precision): params/inputs are cast at the forward boundary, so
+    autodiff returns f32 gradients into the f32 optimizer.
     """
 
     fwd = forward
@@ -56,7 +63,15 @@ def make_train_step(
         fwd = jax.checkpoint(forward, static_argnums=(3, 4, 5))
 
     def loss_fn(params, img1, img2, target):
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+            img1 = img1.astype(compute_dtype)
+            img2 = img2.astype(compute_dtype)
         out = fwd(params, img1, img2, cfg, True, precision)
+        if compute_dtype is not None:
+            # loss pyramid in f32: bf16 norm/EPE accumulation over 256^2
+            # pixels loses ~3 decimal digits
+            out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
         lossvalue, epevalue = loss_obj(out, target)
         # per-level losses (LevelLoss returns lists, reference
         # src/loss.py:151-190) train on their sum; the reference trainer

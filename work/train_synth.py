@@ -1,0 +1,122 @@
+"""Train PIV-LiteFlowNet-en v1 from scratch on streaming synthetic PIV data.
+
+The capability proof VERDICT r2 asked for: the reference's pretrained
+`.paramOnly` weights demonstrate that its training stack produces a model
+that measures flow (reference ``run.py:217-226``); ours must demonstrate the
+same end-to-end. Data streams from the on-device particle generator
+(``data/piv_gen.py``) — random smooth low-frequency flow fields + analytic
+vortex/shear/sine fields — so no host I/O touches the hot loop.
+
+Success gate: held-out val EPE <= 0.3 px mean at 256^2 (VERDICT r2 item 3).
+Writes work/synth_run/metrics.jsonl and a final params npz.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from piv_liteflownet_tpu.data.piv_gen import (
+    ParticleImageGen, shear_flow, sine_flow, vortex_flow,
+)
+from piv_liteflownet_tpu.models.factory import piv_liteflownet
+from piv_liteflownet_tpu.models.liteflownet import forward
+from piv_liteflownet_tpu.parallel.train_step import TrainState, make_train_step
+from piv_liteflownet_tpu.training.loss import EPE, piv_loss
+from piv_liteflownet_tpu.training.optim import make_optimizer
+
+SIZE = 256
+BATCH = int(os.environ.get("SYNTH_BATCH", "8"))
+MAX_STEPS = int(os.environ.get("SYNTH_STEPS", "12000"))
+VAL_EVERY = 200
+TARGET_EPE = 0.3
+OUT = "/root/repo/work/synth_run"
+os.makedirs(OUT, exist_ok=True)
+
+model = piv_liteflownet(version=1)
+cfg = model.cfg
+gen = ParticleImageGen(image_size=(SIZE, SIZE))
+
+
+def random_flow(key):
+    """Random smooth flow: uniform drift + low-frequency bumps + a random
+    blend of the analytic fields (each scaled randomly)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    drift = jax.random.uniform(k1, (1, 1, 2), minval=-2.5, maxval=2.5)
+    bumps = jax.random.normal(k2, (SIZE // 32, SIZE // 32, 2)) * \
+        jax.random.uniform(k3, (), minval=0.2, maxval=1.2)
+    bumps = jax.image.resize(bumps, (SIZE, SIZE, 2), "linear")
+    w = jax.random.dirichlet(k4, jnp.ones(3) * 0.5)
+    analytic = (
+        w[0] * vortex_flow(SIZE, SIZE, strength=2.0)
+        + w[1] * shear_flow(SIZE, SIZE, strength=2.5)
+        + w[2] * sine_flow(SIZE, SIZE, amp=1.5)
+    )
+    return drift + bumps + analytic
+
+
+@jax.jit
+def make_batch(key):
+    kf, kg = jax.random.split(key)
+    flows = jax.vmap(random_flow)(jax.random.split(kf, BATCH))
+    img1, img2 = gen.generate_batch(kg, flows)
+    return img1, img2, flows
+
+
+tx, _ = make_optimizer(model.params, cfg.lowest_level, optimizer="Adam",
+                       lr=1e-4, low_lr=6e-5, weight_decay=4e-4)
+step_fn = make_train_step(cfg, piv_loss(version=1), tx)
+state = TrainState(model.params, tx.init(model.params), jnp.zeros((), jnp.int32))
+
+
+@jax.jit
+def val_epe(params, img1, img2, flows):
+    out = forward(params, img1, img2, cfg, train=False)
+    return EPE(out, flows, mean=True)
+
+
+# fixed held-out set: 4 batches from a disjoint key range
+val_sets = [make_batch(jax.random.PRNGKey(900000 + i)) for i in range(4)]
+val_sets = [tuple(np.asarray(t) for t in s) for s in val_sets]  # freeze
+
+metrics_path = os.path.join(OUT, "metrics.jsonl")
+mode = "a" if os.environ.get("SYNTH_RESUME") else "w"
+mf = open(metrics_path, mode, buffering=1)
+
+key = jax.random.PRNGKey(int(os.environ.get("SYNTH_SEED", "7")))
+t0 = time.time()
+best = 1e9
+for step in range(1, MAX_STEPS + 1):
+    key, kb, ks = jax.random.split(key, 3)
+    img1, img2, flows = make_batch(kb)
+    state, m = step_fn(state, img1, img2, flows, ks)
+    if step % VAL_EVERY == 0 or step == 1:
+        loss = float(m["loss"])
+        epes = [float(val_epe(state.params, *s)) for s in val_sets]
+        epe = sum(epes) / len(epes)
+        best = min(best, epe)
+        rec = {"step": step, "train_loss": loss, "val_epe_px": round(epe, 4),
+               "elapsed_s": round(time.time() - t0, 1)}
+        mf.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+        if loss != loss:
+            print("NaN loss - aborting", flush=True)
+            break
+        if epe <= TARGET_EPE:
+            print(f"TARGET REACHED: val EPE {epe:.4f} <= {TARGET_EPE} "
+                  f"at step {step} ({time.time()-t0:.0f}s)", flush=True)
+            break
+
+np.savez(os.path.join(OUT, "params_final.npz"),
+         **{k: np.asarray(v) for k, v in state.params.items()})
+print(f"done: best val EPE {best:.4f} px, saved {OUT}/params_final.npz", flush=True)
