@@ -69,25 +69,16 @@ class ModelConfig:
         0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
     )
     dtype: jnp.dtype = jnp.float32
-    # Warp implementation ("gather" | "tent" | "auto" | "window" | "pallas"):
-    #  - "gather" (DEFAULT): packed 4-tap single-gather — TPU gathers are
-    #    descriptor-bound, so all four bilinear corner taps ride one gather
-    #    of 4C-wide rows (ops/warp.py). Exact grid_sample semantics,
-    #    differentiable, ~25 ms/pair per 1024^2 warp of any width.
-    #  - "tent": value-accumulated Pallas tent-window warp
-    #    (ops/pallas_feat_warp.py) with on-device residual guard + exact
-    #    gather fallback; strided (M) warps keep the gather.
-    #  - "auto": guarded tent-window fast path for rgb-width operands with an
-    #    ON-DEVICE residual-bound check and lax.cond fallback to the gather
-    #    (exactness guaranteed). Measured FASTER standalone (6 vs 25 ms/pair
-    #    at c=3) but SLOWER inside the fused model (cond + chunked scan
-    #    serialize against the level pipeline: 195 vs 144 ms/pair, b2) —
-    #    kept as an opt-in for standalone warp workloads.
-    #  - "window": the tent-window path UNGUARDED (clamps residual overflow).
-    #  - "pallas": VMEM-resident Pallas tent kernel (ops/pallas_warp.py).
+    # Feature-warp implementation. Only "gather" ships: the packed 4-tap
+    # single-gather (ops/warp.py) — TPU gathers are descriptor-bound, so all
+    # four bilinear corner taps ride one gather of 4C-wide rows. Exact
+    # grid_sample semantics, differentiable, ~25 ms/pair per 1024^2 warp of
+    # any width. Tent/window/Pallas alternatives were built and measured
+    # across rounds 2-3 and ALL lose in the fused model (r2: window 195 vs
+    # 144 ms/pair; r3: value-accumulated tent kernel 262 vs 144 and 30.3 vs
+    # 25.7 ms standalone at c=64) — they live in work/experiments/ as the
+    # measured record. The c<=4 case IS won by a kernel: see rgb_norm.
     warp_impl: str = "gather"
-    warp_residual: int = 4
-    warp_tile: int = 128
     # Space-to-batch conv banding (exact; test_banding.py): lifts isolated
     # b<8 conv stacks from ~19 to ~6.6 ms/4Mpx, but measured NET-SLOWER
     # inside the full model (band slice/concat traffic: 164 vs 144 ms/pair,
@@ -253,46 +244,7 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
             )
             return _bar(out)
 
-    if stride != 1:
-        out = backwarp(img, flow, stride)
-    elif cfg.warp_impl == "tent":
-        # Value-accumulated Pallas tent warp (ops/pallas_feat_warp.py):
-        # guarded by the on-device residual check, exact gather fallback.
-        from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp_auto
-
-        out = feat_warp_auto(img, flow, r=cfg.warp_residual)
-    elif cfg.warp_impl == "auto":
-        # Guarded fast path FOR NARROW (rgb) OPERANDS ONLY: per-tile
-        # base-shift tent window (exact while the in-tile residual bound
-        # holds — checked ON DEVICE) with lax.cond fallback to the exact
-        # gather. Measured in-model: 4x faster than the gather at c=3
-        # (24 vs ~100 ms, b4 1024^2) but 2.6x SLOWER at feature widths
-        # (the chunked scan serializes against the rest of the level), so
-        # wide warps keep the gather.
-        if img.shape[-1] <= 4:
-            from piv_liteflownet_tpu.ops.window_warp import (
-                backwarp_window,
-                window_residual_ok,
-            )
-
-            out = jax.lax.cond(
-                window_residual_ok(flow, cfg.warp_residual, cfg.warp_tile),
-                lambda a, f: backwarp_window(a, f, cfg.warp_residual, cfg.warp_tile),
-                lambda a, f: backwarp(a, f),
-                img, flow,
-            )
-        else:
-            out = backwarp(img, flow)
-    elif cfg.warp_impl == "window":
-        from piv_liteflownet_tpu.ops.window_warp import backwarp_window
-
-        out = backwarp_window(img, flow, residual=cfg.warp_residual, tile=cfg.warp_tile)
-    elif cfg.warp_impl == "pallas":
-        from piv_liteflownet_tpu.ops.pallas_warp import backwarp_tiled
-
-        out = backwarp_tiled(img, flow, residual=cfg.warp_residual, tile=cfg.warp_tile)
-    else:
-        out = backwarp(img, flow)
+    out = backwarp(img, flow, stride)
     return _bar(out)
 
 
@@ -601,10 +553,6 @@ def forward(
     coarsest level first (+ LiteFlowNet2: final flow upsampled to input size).
     Matches reference ``src/models.py:319-370`` / ``:660-716``.
     """
-    if train and cfg.warp_impl == "auto":
-        # training keeps the plain gather warp: simplest exact gradients and
-        # reference-parity backprop (no cond branches in the backward graph)
-        cfg = dataclasses.replace(cfg, warp_impl="gather")
     if train and cfg.conv_impl != "xla":
         # the fused conv-chain kernel is forward-only
         cfg = dataclasses.replace(cfg, conv_impl="xla")

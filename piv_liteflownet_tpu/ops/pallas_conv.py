@@ -55,7 +55,7 @@ def conv_chain_pallas(
     biases: Sequence[jax.Array],
     last_linear: bool = True,
     tile_h: int = 32,
-    tile_w: int = 256,
+    tile_w: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Conv chain over ``concat(parts, axis=-1)`` — SAME padding, stride 1,
@@ -69,7 +69,6 @@ def conv_chain_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, _ = parts[0].shape
-    n_parts = len(parts)
     n_convs = len(weights)
     halos = [(wt.shape[0] // 2, wt.shape[1] // 2) for wt in weights]
     total_hy = sum(hy for hy, _ in halos)
@@ -86,40 +85,92 @@ def conv_chain_pallas(
     sw = tw + 2 * M
     cout_last = weights[-1].shape[-1]
 
-    # split weights[0] by part channels
+    # Repack the virtual concat into 128-lane GROUPS: Mosaic DMA requires
+    # every array's lane dim to be a 128-multiple (sub-128 windows crash
+    # the compiler — bisected in work/dbg_mosaic.py P3/P5). conv(concat)
+    # splits at any channel boundary, so groups are free to cut across
+    # parts; the final group zero-pads (its extra matmul K-width is the
+    # price of the DMA constraint).
     part_cs = [p.shape[-1] for p in parts]
-    assert sum(part_cs) == weights[0].shape[2], "weights[0] Cin mismatch"
+    total_c = sum(part_cs)
+    assert total_c == weights[0].shape[2], "weights[0] Cin mismatch"
+    groups = []      # [B, H, W, <=128] arrays
+    cur, cur_c = [], 0
+    for p in parts:
+        while p.shape[-1] > 0:
+            take = min(128 - cur_c, p.shape[-1])
+            cur.append(p[..., :take])
+            cur_c += take
+            p = p[..., take:]
+            if cur_c == 128:
+                groups.append(cur[0] if len(cur) == 1 else
+                              jnp.concatenate(cur, axis=-1))
+                cur, cur_c = [], 0
+    if cur_c:
+        g = cur[0] if len(cur) == 1 else jnp.concatenate(cur, axis=-1)
+        groups.append(jnp.pad(g, ((0, 0),) * 3 + ((0, 128 - cur_c),)))
+    n_groups = len(groups)
     w0_parts = []
-    off = 0
-    for c in part_cs:
-        w0_parts.append(weights[0][:, :, off:off + c, :])
-        off += c
+    for gi in range(n_groups):
+        wslice = weights[0][:, :, gi * 128:(gi + 1) * 128, :]
+        if wslice.shape[2] < 128:
+            wslice = jnp.pad(
+                wslice, ((0, 0), (0, 0), (0, 128 - wslice.shape[2]), (0, 0)))
+        w0_parts.append(wslice)
 
     padded = [
-        jnp.pad(p, ((0, 0), (M, M + hp - h), (M, M + wp - w), (0, 0)))
-        for p in parts
+        jnp.pad(g, ((0, 0), (M, M + hp - h), (M, M + wp - w), (0, 0)))
+        for g in groups
     ]
-    wt_inputs = [w.astype(dtype) for w in w0_parts] + \
-        [w.astype(dtype) for w in weights[1:]]
-    b_inputs = [bb.astype(dtype) for bb in biases]
+    # middle convs run at K=N=128 (zero-padded): N-padding is free on the
+    # MXU and keeps every intermediate store full-lane; the last conv keeps
+    # its true cout (it writes the output block, never a scratch ref)
+    def pad_kn(wt, n_to=None):
+        kh_, kw_, ci_, co_ = wt.shape
+        return jnp.pad(wt, ((0, 0), (0, 0), (0, 128 - ci_),
+                            (0, (n_to or co_) - co_)))
+
+    mids = [pad_kn(wt, 128) for wt in weights[1:-1]]
+    last = pad_kn(weights[-1]) if n_convs > 1 else None
+    w0p = [pad_kn(w, 128 if n_convs > 1 else None)
+           for w in w0_parts]  # already K=128; pad N
+    wt_inputs = [w.astype(dtype) for w in w0p] + \
+        [w.astype(dtype) for w in mids] + \
+        ([last.astype(dtype)] if last is not None else [])
+    b_pad = [jnp.pad(bb, (0, 128 - bb.shape[0])) for bb in biases[:-1]]
+    b_inputs = [bb.astype(dtype) for bb in b_pad] + [biases[-1].astype(dtype)]
     n_w, n_b = len(wt_inputs), len(b_inputs)
 
-    def tap_sum(x, wref):
-        """sum_{ky,kx} x[ky:ky+r', kx:kx+c', :] @ W[ky,kx] -> (r', c', cout) f32."""
+    def tap_sum_ref(src, ri, ci, wref):
+        """sum_{ky,kx} src[ky:ky+r', kx:kx+c', :] @ W[ky,kx] -> (r', c', N) f32.
+
+        ``src`` is a VMEM Ref (rows untiled): the ky loop is a fori_loop
+        with pl.ds row slicing — a fully unrolled 7x7 (49 matmul sites)
+        made the Mosaic compile explode (compile-helper OOM-killed), and
+        dynamic_slice on VALUES has no Mosaic lowering, so every layer's
+        input lives in a ref. All K dims are zero-padded to 128 (no lane
+        slicing anywhere; the extra MXU K-width costs ~0.3 ms/pair total).
+        """
+        from jax.experimental import pallas as pl
+
         kh, kw = wref.shape[0], wref.shape[1]
-        rp = x.shape[0] - (kh - 1)
-        cp = x.shape[1] - (kw - 1)
-        wv = wref[:]
-        acc = None
-        for ky in range(kh):
+        rp = ri - (kh - 1)
+        cp = ci - (kw - 1)
+        cout = wref.shape[3]
+
+        def body(ky, acc):
+            rows = src[pl.ds(ky, rp)]
+            wky = wref[ky]  # (kw, 128, cout); dim 0 untiled -> dynamic ok
             for kx in range(kw):
-                contrib = jax.lax.dot_general(
-                    x[ky:ky + rp, kx:kx + cp, :], wv[ky, kx],
+                acc = acc + jax.lax.dot_general(
+                    rows[:, kx:kx + cp, :], wky[kx],
                     (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                acc = contrib if acc is None else acc + contrib
-        return acc
+            return acc
+
+        return jax.lax.fori_loop(
+            0, kh, body, jnp.zeros((rp, cp, cout), jnp.float32))
 
     def finish(acc, bias, act):
         y = acc + bias[:].astype(jnp.float32)
@@ -129,28 +180,31 @@ def conv_chain_pallas(
 
     def kernel(*refs):
         idx = 0
-        part_hbm = refs[idx:idx + n_parts]; idx += n_parts
+        part_hbm = refs[idx:idx + n_groups]; idx += n_groups
         wrefs = refs[idx:idx + n_w]; idx += n_w
         brefs = refs[idx:idx + n_b]; idx += n_b
         out_ref = refs[idx]; idx += 1
-        slabs = refs[idx:idx + n_parts]; idx += n_parts
+        slabs = refs[idx]; idx += 1
+        inter = refs[idx]; idx += 1
         sems = refs[idx]
 
         ib = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
 
-        dmas = []
-        for k in range(n_parts):
+        # parts stream through a 2-slot shared slab (VMEM: one buffer, not
+        # one per part) with the next part's DMA in flight during this
+        # part's taps
+        def start_dma(k):
             d = pltpu.make_async_copy(
                 part_hbm[k].at[ib, pl.ds(ti * th, sh), pl.ds(tj * tw, sw), :],
-                slabs[k],
-                sems.at[k],
+                slabs.at[k % 2],
+                sems.at[k % 2],
             )
             d.start()
-            dmas.append(d)
-        for d in dmas:
-            d.wait()
+            return d
+
+        dmas = [start_dma(0)]
 
         def mask_outside(x, off):
             """Zero the rows/cols that lie outside the real image: a SAME
@@ -164,50 +218,72 @@ def conv_chain_pallas(
             ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + g0y
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + g0x
             ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
-            return x * ok[:, :, None].astype(x.dtype)
+            # minor-dim insert must happen on a 32-bit type (Mosaic), so
+            # cast the mask to f32 first, then down to the compute dtype
+            okf = ok.astype(jnp.float32)[:, :, None]
+            return x * okf.astype(x.dtype)
 
+        # conv1: sum over group slabs (refs)
         acc = None
-        for k in range(n_parts):
-            t = tap_sum(slabs[k][:], wrefs[k])
+        for k in range(n_groups):
+            if k + 1 < n_groups:
+                dmas.append(start_dma(k + 1))
+            dmas[k].wait()
+            t = tap_sum_ref(slabs.at[k % 2], sh, sw, wrefs[k])
             acc = t if acc is None else acc + t
-        x = finish(acc, brefs[0], act=True)
+        ri = sh - 2 * halos[0][0]
+        ci = sw - 2 * halos[0][1]
         off = halos[0][0]
+        x = finish(acc, brefs[0], act=(n_convs > 1 or not last_linear))
 
+        # middle convs ping-pong through the inter scratch (every layer's
+        # input must be a ref: dynamic_slice on values has no lowering)
         for i in range(1, n_convs):
-            act = (i < n_convs - 1) or not last_linear
             x = mask_outside(x, off)
-            x = finish(tap_sum(x, wrefs[n_parts + i - 1]), brefs[i], act)
+            # single buffer: all of this layer's reads complete before the
+            # next store (tap_sum_ref materializes its output value first)
+            inter[0:ri, 0:ci, :] = x
+            act = (i < n_convs - 1) or not last_linear
+            x = finish(
+                tap_sum_ref(inter, ri, ci, wrefs[n_groups + i - 1]),
+                brefs[i], act)
+            ri -= 2 * halos[i][0]
+            ci -= 2 * halos[i][1]
             off += halos[i][0]
 
         # x extent: (sh - 2*total_hy, sw - 2*total_hx); the (th, tw) center
-        # sits at offset (M - total_hy, M - total_hx)
+        # sits at offset (M - total_hy, M - total_hx). Output is written
+        # channel-leading ([cout, th, tw] lanes=tw): a (th, tw, 2)-shaped
+        # block would lane-pad 2 -> 128 and waste 64x the VMEM/store.
         oy = M - total_hy
         ox = M - total_hx
-        out_ref[0] = x[oy:oy + th, ox:ox + tw, :]
+        center = x[oy:oy + th, ox:ox + tw, :]
+        out_ref[0] = jnp.moveaxis(center, -1, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b, nth, ntw),
         in_specs=(
-            [pl.BlockSpec(memory_space=pl.ANY) for _ in parts]
+            [pl.BlockSpec(memory_space=pl.ANY) for _ in padded]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)
                for _ in range(n_w + n_b)]
         ),
         out_specs=pl.BlockSpec(
-            (1, th, tw, cout_last), lambda ib, i, j: (ib, i, j, 0),
+            (1, cout_last, th, tw), lambda ib, i, j: (ib, 0, i, j),
             memory_space=pltpu.VMEM),
-        scratch_shapes=(
-            [pltpu.VMEM((sh, sw, p.shape[-1]), dtype) for p in parts]
-            + [pltpu.SemaphoreType.DMA((n_parts,))]
-        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, sh, sw, 128), dtype),  # group slabs (2 slots)
+            pltpu.VMEM((sh, sw, 128), dtype),     # layer intermediate
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp, cout_last), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, cout_last, hp, wp), dtype),
         interpret=interpret,
     )(*padded, *wt_inputs, *b_inputs)
-    return out[:, :h, :w, :]
+    return jnp.moveaxis(out, 1, -1)[:, :h, :w, :]
 
 
 def conv_chain_xla(parts, weights, biases, last_linear=True, precision=None):
@@ -223,7 +299,9 @@ def conv_chain_xla(parts, weights, biases, last_linear=True, precision=None):
                    (w0.shape[0] // 2, w0.shape[1] // 2), precision)
         acc = y if acc is None else acc + y
         off += c
-    x = leaky_relu(acc + biases[0])
+    x = acc + biases[0]
+    if len(weights) > 1 or not last_linear:
+        x = leaky_relu(x)
     for i in range(1, len(weights)):
         wt = weights[i]
         x = conv2d(x, wt, biases[i], 1, (wt.shape[0] // 2, wt.shape[1] // 2),
