@@ -84,19 +84,26 @@ class ModelConfig:
     # inside the full model (band slice/concat traffic: 164 vs 144 ms/pair,
     # b2 @1024^2) — opt-in until the banding is fused into producers.
     conv_bands: bool = False
-    # NetE-R occlusion-norm path ("gather" | "auto" | "pallas"):
+    # NetE-R occlusion-norm path ("auto" | "gather" | "pallas"):
+    #  - "auto" (DEFAULT): fused planar Pallas warp+norm kernel
+    #    (ops/pallas_rgb_warp.py) guarded by the on-device tent-bound check
+    #    with exact gather fallback — exactness guaranteed. The warped rgb
+    #    never touches HBM. Measured r3: kernel 1.27 vs gather 10.2 ms/pair
+    #    standalone @1024^2; in-model v1 b2 144.2 -> 132.0 ms/pair (the
+    #    demo turbulence field passes the r=3 guard). Falls back to
+    #    "gather" automatically on CPU backends (no Mosaic lowering).
     #  - "gather": norm = sqrt(sum_c (img1 - packed-gather-warp(img2))^2).
-    #  - "auto": fused planar Pallas warp+norm kernel (ops/pallas_rgb_warp.py)
-    #    guarded by the on-device tent-bound check, exact gather fallback —
-    #    exactness guaranteed. The warped rgb never touches HBM.
     #  - "pallas": the kernel unguarded (clamps out-of-window flow).
-    rgb_norm: str = "gather"
+    rgb_norm: str = "auto"
     # NetE conv-stack implementation ("xla" | "pallas"):
-    #  - "xla": lax.conv_general_dilated per conv (differentiable; XLA's
-    #    big-frame conv tiling needs batch >= 8 for full MXU rate).
+    #  - "xla" (DEFAULT): lax.conv_general_dilated per conv (differentiable;
+    #    XLA's big-frame conv tiling needs batch >= 8 for full MXU rate).
     #  - "pallas": whole M/S/R stacks as single fused kernels with
-    #    VMEM-resident intermediates (ops/pallas_conv.py) — removes the
-    #    b<8 scheduling penalty. Forward-only: training always uses "xla".
+    #    VMEM-resident intermediates (ops/pallas_conv.py). Exact and tested
+    #    on device, but MEASURED 9x SLOWER than XLA standalone (137 vs 14.7
+    #    ms/pair, S stack b2 @1024^2, r3): the row-batched 3D dot_general
+    #    does not reach MXU rate under Mosaic. Kept as the measured record;
+    #    a rewrite would need explicit (M,K)x(K,N) im2col tiling.
     conv_impl: str = "xla"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
@@ -311,6 +318,7 @@ def _use_pallas_convs(cfg: ModelConfig, shape) -> bool:
         cfg.conv_impl == "pallas"
         and get_spatial_ctx() is None
         and shape[1] >= 32 and shape[2] >= 32
+        and jax.default_backend() != "cpu"  # no Mosaic lowering on CPU
     )
 
 
@@ -470,14 +478,16 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
         and "warpR" not in cfg.ablate
         and get_spatial_ctx() is None
         and img1.shape[1] >= 64 and img1.shape[2] >= 128
+        and jax.default_backend() != "cpu"  # no Mosaic lowering on CPU
     )
     if use_rgb_kernel:
         from piv_liteflownet_tpu.ops.pallas_rgb_warp import (
-            rgb_warp_norm,
-            rgb_warp_norm_pallas,
+            rgb_warp_norm_nograd,
+            rgb_warp_norm_pallas_nograd,
         )
 
-        fn = rgb_warp_norm if cfg.rgb_norm == "auto" else rgb_warp_norm_pallas
+        fn = (rgb_warp_norm_nograd if cfg.rgb_norm == "auto"
+              else rgb_warp_norm_pallas_nograd)
         norm = jax.lax.stop_gradient(_bar(fn(img1, img2, flow * sf)))
     else:
         if "warpR" in cfg.ablate:

@@ -54,7 +54,7 @@ def conv_chain_pallas(
     weights: Sequence[jax.Array],
     biases: Sequence[jax.Array],
     last_linear: bool = True,
-    tile_h: int = 32,
+    tile_h: int = 16,
     tile_w: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
@@ -281,6 +281,10 @@ def conv_chain_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cout_last, hp, wp), dtype),
+        # the default Mosaic budget rejects this kernel's scratch + the
+        # unrolled kx matmul liveness; v5e VMEM is large enough
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*padded, *wt_inputs, *b_inputs)
     return jnp.moveaxis(out, 1, -1)[:, :h, :w, :]

@@ -233,3 +233,24 @@ def rgb_warp_norm(img1: jax.Array, img2: jax.Array, flow: jax.Array,
         lambda a, b_, f: rgb_warp_norm_gather(a, b_, f),
         img1, img2, flow,
     )
+
+
+def _zero_tangent(fn):
+    """Wrap ``fn`` so differentiation treats it as a constant (zero tangent/
+    cotangent). The model stop-gradients the occlusion norm anyway (reference
+    keeps it out of the grad path), but ``stop_gradient`` on the *output*
+    still JVP-traces the producer — which a pallas_call cannot do."""
+    f = jax.custom_jvp(fn)
+
+    @f.defjvp
+    def _jvp(primals, tangents):  # noqa: ANN001
+        out = fn(*primals)
+        return out, jnp.zeros_like(out)
+
+    return f
+
+
+rgb_warp_norm_nograd = _zero_tangent(
+    lambda a, b_, f: rgb_warp_norm(a, b_, f))
+rgb_warp_norm_pallas_nograd = _zero_tangent(
+    lambda a, b_, f: rgb_warp_norm_pallas(a, b_, f))

@@ -82,7 +82,7 @@ def test_ondevice_s_stack():
     parts, weights, biases = _chain(4, shapes, b=1, h=128, w=256,
                                     parts_c=[64, 64, 2])
     parts = [p.astype(jnp.bfloat16) for p in parts]
-    got = conv_chain_pallas(parts, weights, biases, tile_h=32, tile_w=128)
+    got = conv_chain_pallas(parts, weights, biases, tile_h=16, tile_w=128)
     ref = conv_chain_xla([p.astype(jnp.float32) for p in parts], weights, biases)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                atol=0.15, rtol=0.05)

@@ -104,3 +104,28 @@ def test_ondevice_matches_gather():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+@pytest.mark.tpu
+@requires_tpu
+def test_grad_through_nograd_wrapper():
+    """Differentiating a loss whose forward uses the kernel must not crash
+    (pallas_call has no JVP rule; the _nograd wrappers declare zero tangent —
+    the model stop-gradients the norm anyway). Regression: r3 training run
+    crashed with NotImplementedError at _pallas_call_jvp_rule."""
+    from piv_liteflownet_tpu.ops.pallas_rgb_warp import rgb_warp_norm_nograd
+
+    img1, img2, flow = _case(7)
+
+    def loss(f):
+        return jnp.sum(rgb_warp_norm_nograd(img1, img2, f) * jnp.abs(f).sum())
+
+    val, g = jax.value_and_grad(loss)(flow)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # the norm factor contributes no gradient; only |f| does
+    norm = rgb_warp_norm_nograd(img1, img2, flow)
+    sign = jnp.sign(flow)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(jnp.sum(norm) * sign), rtol=1e-4
+    )

@@ -38,19 +38,20 @@ parts = [jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32) * 0.3
 weights, biases = [], []
 for k, cin, cout in shapes:
     weights.append(jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32)
-                               / np.sqrt(k * k * cin)))
-    biases.append(jnp.asarray(rng.standard_normal(cout).astype(np.float32) * 0.1))
+                               / np.sqrt(k * k * cin)).astype(jnp.bfloat16))
+    biases.append(jnp.asarray(rng.standard_normal(cout).astype(np.float32) * 0.1
+                              ).astype(jnp.bfloat16))
 
 for name, fn in (
     ("xla           ", lambda *ps: conv_chain_xla(list(ps), weights, biases)),
+    ("pallas t16x128", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+                                                     tile_h=16, tile_w=128)),
+    ("pallas t32x128", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+                                                     tile_h=32, tile_w=128)),
     ("pallas t32x256", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
                                                      tile_h=32, tile_w=256)),
-    ("pallas t32x512", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
-                                                     tile_h=32, tile_w=512)),
-    ("pallas t64x256", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
-                                                     tile_h=64, tile_w=256)),
-    ("pallas t16x512", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
-                                                     tile_h=16, tile_w=512)),
+    ("pallas t16x256", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+                                                     tile_h=16, tile_w=256)),
 ):
     try:
         t = chained_time(dep(fn), tuple(parts), n_lo=2, n_hi=6)
@@ -62,7 +63,7 @@ for name, fn in (
 g = np.asarray(conv_chain_xla([p[:1, :256, :256] for p in parts], weights, biases),
                np.float32)
 p_ = np.asarray(conv_chain_pallas([p[:1, :256, :256] for p in parts], weights, biases,
-                                  tile_h=32, tile_w=256), np.float32)
+                                  tile_h=16, tile_w=128), np.float32)
 print(f"S-stack device parity: max|d|={np.abs(g-p_).max():.5f}", flush=True)
 
 # in-model

@@ -73,8 +73,15 @@ def make_batch(key):
     return img1, img2, flows
 
 
+# weight_decay MUST be 0 for from-scratch training: piv_loss level weights
+# (0.001..0.01) put the median loss-grad norm at ~2.5e-7 vs the L2 decay
+# term 4e-4*|w| ~ 2.5e-4 — decay swamps the signal 1000:1 and Adam's
+# direction becomes pure shrinkage (measured: 8400 frozen steps, val EPE
+# 2.317 flat). The reference only ever fine-tunes from pretrained weights,
+# where staying near the init is the point of the decay.
 tx, _ = make_optimizer(model.params, cfg.lowest_level, optimizer="Adam",
-                       lr=1e-4, low_lr=6e-5, weight_decay=4e-4)
+                       lr=float(os.environ.get("SYNTH_LR", "1e-4")),
+                       low_lr=6e-5, weight_decay=0.0)
 step_fn = make_train_step(cfg, piv_loss(version=1), tx)
 state = TrainState(model.params, tx.init(model.params), jnp.zeros((), jnp.int32))
 
