@@ -135,3 +135,24 @@ def test_evaluate_cli(tmp_path):
     assert agg["pairs"] == 2 and np.isfinite(agg["aee"])
     assert os.path.isfile(os.path.join(save, "p00_out.flo"))
     assert os.path.isfile(os.path.join(save, "p00_out.png"))
+
+
+def test_evaluate_cli_batched_mixed_shapes(tmp_path):
+    """Shape-grouped batching: 3 pairs at 32x32 + 1 at 64x32, batch_size=2 —
+    two full flushes plus two partial ones; per-pair records keep dataset
+    order and every EPE is exact (same estimate() path as unbatched)."""
+    from piv_liteflownet_tpu.utils.flow_io import write_flow
+
+    evaluate_cli = _load_repo_module("evaluate")
+    indir = str(tmp_path / "ev")
+    _make_pairs(indir, n=3)
+    rng = np.random.default_rng(11)
+    Image.fromarray((rng.random((64, 32, 3)) * 255).astype(np.uint8)).save(
+        os.path.join(indir, "p03_img1.png"))
+    Image.fromarray((rng.random((64, 32, 3)) * 255).astype(np.uint8)).save(
+        os.path.join(indir, "p03_img2.png"))
+    for i, shape in enumerate([(32, 32), (32, 32), (32, 32), (64, 32)]):
+        write_flow(rng.standard_normal((*shape, 2)).astype(np.float32),
+                   os.path.join(indir, f"p{i:02d}_flow.flo"))
+    agg = evaluate_cli.main(["-i", indir, "--model", "piv", "--cpu", "-b", "2"])
+    assert agg["pairs"] == 4 and np.isfinite(agg["aee"])
