@@ -97,13 +97,50 @@ val_sets = [make_batch(jax.random.PRNGKey(900000 + i)) for i in range(4)]
 val_sets = [tuple(np.asarray(t) for t in s) for s in val_sets]  # freeze
 
 metrics_path = os.path.join(OUT, "metrics.jsonl")
-mode = "a" if os.environ.get("SYNTH_RESUME") else "w"
+ckpt_path = os.path.join(OUT, "ckpt.npz")
+start_step = 0
+if os.environ.get("SYNTH_RESUME") and not os.path.exists(ckpt_path) \
+        and os.path.exists(os.path.join(OUT, "params_final.npz")):
+    # params-only fallback (runs from before periodic ckpts): fresh Adam state
+    loaded = np.load(os.path.join(OUT, "params_final.npz"))
+    params = {k: jnp.asarray(loaded[k]) for k in loaded.files}
+    state = TrainState(params, tx.init(params),
+                       jnp.asarray(int(os.environ.get("SYNTH_START", "12000"))))
+    start_step = int(state.step)
+    print(f"resumed params-only at step {start_step}", flush=True)
+elif os.environ.get("SYNTH_RESUME") and os.path.exists(ckpt_path):
+    import pickle
+
+    with open(ckpt_path, "rb") as fh:
+        saved = pickle.load(fh)
+    state = TrainState(
+        jax.tree.map(jnp.asarray, saved["params"]),
+        jax.tree.map(jnp.asarray, saved["opt_state"]),
+        jnp.asarray(saved["step"]),
+    )
+    start_step = int(saved["step"])
+    print(f"resumed from {ckpt_path} at step {start_step}", flush=True)
+mode = "a" if start_step else "w"
 mf = open(metrics_path, mode, buffering=1)
 
-key = jax.random.PRNGKey(int(os.environ.get("SYNTH_SEED", "7")))
+
+def save_ckpt(state):
+    import pickle
+
+    tmp = ckpt_path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump({
+            "params": jax.tree.map(np.asarray, state.params),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "step": int(state.step),
+        }, fh)
+    os.replace(tmp, ckpt_path)
+
+
+key = jax.random.PRNGKey(int(os.environ.get("SYNTH_SEED", "7")) + start_step)
 t0 = time.time()
 best = 1e9
-for step in range(1, MAX_STEPS + 1):
+for step in range(start_step + 1, start_step + MAX_STEPS + 1):
     key, kb, ks = jax.random.split(key, 3)
     img1, img2, flows = make_batch(kb)
     state, m = step_fn(state, img1, img2, flows, ks)
@@ -116,6 +153,8 @@ for step in range(1, MAX_STEPS + 1):
                "elapsed_s": round(time.time() - t0, 1)}
         mf.write(json.dumps(rec) + "\n")
         print(rec, flush=True)
+        if step % 2000 == 0:
+            save_ckpt(state)
         if loss != loss:
             print("NaN loss - aborting", flush=True)
             break
