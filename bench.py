@@ -51,10 +51,11 @@ def bench_version(version: int, batch: int, dtype=jnp.bfloat16, size: int = SIZE
 def main():
     result = 0.0
     v1_ok = False
-    # batch sweep finding (BASELINE.md): XLA's big-frame convs need batch>=8
-    # for full MXU rate but the b8 model is HBM-squeezed; b=2 measured best
-    # per-pair for the full v1 pipeline (144 vs 161 ms/pair at b4).
-    for batch, dtype in ((2, jnp.bfloat16), (1, jnp.bfloat16), (1, jnp.float32)):
+    # batch sweep finding (BASELINE.md): with the fused rgb-norm kernel the
+    # HBM squeeze eased and b=4 became the best per-pair v1 config
+    # (r3: 129.0 ms/pair vs 132.3 at b2, 137.2 at b8).
+    for batch, dtype in ((4, jnp.bfloat16), (2, jnp.bfloat16), (1, jnp.bfloat16),
+                         (1, jnp.float32)):
         try:
             result = bench_version(1, batch, dtype)
             v1_ok = True
@@ -67,7 +68,7 @@ def main():
         extras["v1_failed"] = True
     # Secondary figures: v2 backbone (the north-star path) + resolution table.
     for name, version, b, size in (
-        ("v2_pairs_per_sec", 2, 8, 1024),
+        ("v2_pairs_per_sec", 2, 4, 1024),
         ("v1_512", 1, 8, 512),
         ("v2_512", 2, 8, 512),
         ("v1_256", 1, 16, 256),

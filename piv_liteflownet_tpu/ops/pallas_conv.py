@@ -13,6 +13,17 @@ ENTIRE conv chain (e.g. the S stack 130->128->64->32->2, reference
 no inter-conv HBM round trips, and MXU work tiled by (rows x cols), not
 batch.
 
+STATUS (r3): measured NEGATIVE, kept opt-in as the record. Best standalone
+S-stack b2 @1024^2: 24.8 ms/pair (dot2d + last-layer N-fold, t32x512) vs
+XLA 14.8 — the XLA stack standalone at b2 is NOT the bottleneck the
+in-model attribution suggested; the in-model conv loss (59 vs ~35 ms floor)
+is scheduling/fusion-boundary cost around the other ops, which a standalone
+replacement kernel cannot recover. Optimization trail, all exact
+(interpret-parity-tested): 3D row-batched dots 137-160 ms (per-row M=cols
+matmuls, pipeline-latency-bound) -> 2D collapsed dots 30-38 ms -> + N-fold
+last layer 24.8 ms. kx->K lane-concat folding is NOT lowerable (Mosaic
+rejects concat of vregs at different sublane offsets).
+
 Design:
 - Tiles of (th x tw) output pixels with an m=8 halo margin each side, DMA'd
   from the globally zero-padded input (so tile borders read REAL neighbors,
@@ -56,6 +67,7 @@ def conv_chain_pallas(
     last_linear: bool = True,
     tile_h: int = 16,
     tile_w: int = 128,
+    dot2d: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Conv chain over ``concat(parts, axis=-1)`` — SAME padding, stride 1,
@@ -83,6 +95,13 @@ def conv_chain_pallas(
     nth, ntw = hp // th, wp // tw
     sh = th + 2 * M
     sw = tw + 2 * M
+    # dot2d pads every tap's column window up to a multiple of 8 so the
+    # (rows, cols, 128) tap block collapses to ONE (rows*cols, 128) @
+    # (128, cout) MXU matmul (the 3D dot_general lowers to per-row M=cols
+    # matmuls — pipeline-latency-bound). The extra 8 slab columns keep the
+    # widened windows in bounds; their outputs are garbage and are sliced.
+    xp = 8 if dot2d else 0
+    swa = sw + xp  # allocated slab width
     cout_last = weights[-1].shape[-1]
 
     # Repack the virtual concat into 128-lane GROUPS: Mosaic DMA requires
@@ -119,7 +138,7 @@ def conv_chain_pallas(
         w0_parts.append(wslice)
 
     padded = [
-        jnp.pad(g, ((0, 0), (M, M + hp - h), (M, M + wp - w), (0, 0)))
+        jnp.pad(g, ((0, 0), (M, M + hp - h), (M, M + wp - w + xp), (0, 0)))
         for g in groups
     ]
     # middle convs run at K=N=128 (zero-padded): N-padding is free on the
@@ -131,7 +150,22 @@ def conv_chain_pallas(
                             (0, (n_to or co_) - co_)))
 
     mids = [pad_kn(wt, 128) for wt in weights[1:-1]]
-    last = pad_kn(weights[-1]) if n_convs > 1 else None
+    # N-fold for the last conv when kw*cout fits one MXU N-tile: systolic
+    # time goes with ceil(K/128)*ceil(N/128)*M, so a kw=7, cout=2 layer as
+    # 49 per-tap (M,128)@(128,2) dots burns 49 M-passes with 126/128 of the
+    # array idle; folding the x-taps into N ((kh) dots of (M,128)@(128,14)
+    # + a shifted-add combine) does it in kh M-passes. Only the last layer:
+    # its output never round-trips the 128-lane inter scratch.
+    wl = weights[-1]
+    nfold_last = (dot2d and n_convs > 1
+                  and wl.shape[1] * wl.shape[3] <= 128)
+    if nfold_last:
+        klh, klw, lci, lco = wl.shape
+        wlp = jnp.pad(wl, ((0, 0), (0, 0), (0, 128 - lci), (0, 0)))
+        # [ky][ci][kx*co+n] = wl[ky, kx, ci, n]
+        last = wlp.transpose(0, 2, 1, 3).reshape(klh, 128, klw * lco)
+    else:
+        last = pad_kn(weights[-1]) if n_convs > 1 else None
     w0p = [pad_kn(w, 128 if n_convs > 1 else None)
            for w in w0_parts]  # already K=128; pad N
     wt_inputs = [w.astype(dtype) for w in w0p] + \
@@ -150,13 +184,42 @@ def conv_chain_pallas(
         dynamic_slice on VALUES has no Mosaic lowering, so every layer's
         input lives in a ref. All K dims are zero-padded to 128 (no lane
         slicing anywhere; the extra MXU K-width costs ~0.3 ms/pair total).
+
+        dot2d: each tap block is collapsed (rows, cols8, 128) ->
+        (rows*cols8, 128) for one large-M MXU matmul; cols8 = cp rounded up
+        to a sublane multiple (the collapse is then layout-free). The
+        <=7 garbage columns read real slab bytes (never out of bounds —
+        the slab is xp wider) and are sliced off after the ky loop.
         """
         from jax.experimental import pallas as pl
 
         kh, kw = wref.shape[0], wref.shape[1]
         rp = ri - (kh - 1)
         cp = ci - (kw - 1)
+        cpp = _round_up(cp, 8)
         cout = wref.shape[3]
+
+        if dot2d:
+            # (Folding kx into K via lane-concat of the shifted views is
+            # NOT lowerable: tpu.concatenate rejects inputs at different
+            # sublane offsets — "result/input offset mismatch on non-concat
+            # dimension". Per-kx 2D dots it is; for N=128 layers the
+            # M-pass count is identical anyway.)
+            def body(ky, acc):
+                rows = src[pl.ds(ky, rp)]
+                wky = wref[ky]
+                for kx in range(kw):
+                    m2 = rows[:, kx:kx + cpp, :].reshape(rp * cpp, 128)
+                    acc = acc + jax.lax.dot_general(
+                        m2, wky[kx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, kh, body, jnp.zeros((rp * cpp, cout), jnp.float32))
+            return acc.reshape(rp, cpp, cout)[:, :cp, :]
 
         def body(ky, acc):
             rows = src[pl.ds(ky, rp)]
@@ -171,6 +234,35 @@ def conv_chain_pallas(
 
         return jax.lax.fori_loop(
             0, kh, body, jnp.zeros((rp, cp, cout), jnp.float32))
+
+    def tap_sum_nfold(src, ri, ci, wref, kh, kw, cout):
+        """Last-layer N-fold: per ky, ONE (rp*cpw, 128) @ (128, kw*cout)
+        matmul over the UNSHIFTED window, then a shifted-add combine
+        ``out[:, j, n] = sum_kx y[:, j+kx, kx*cout+n]``. kh M-passes total
+        (vs kh*kw per-tap) since kw*cout <= one MXU N-tile."""
+        from jax.experimental import pallas as pl
+
+        rp = ri - (kh - 1)
+        cp = ci - (kw - 1)
+        cpw = _round_up(cp + kw - 1, 8)  # window incl. x-taps, 8-aligned
+
+        def body(ky, acc):
+            rows = src[pl.ds(ky, rp)]
+            m2 = rows[:, 0:cpw, :].reshape(rp * cpw, 128)
+            return acc + jax.lax.dot_general(
+                m2, wref[ky],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        y = jax.lax.fori_loop(
+            0, kh, body,
+            jnp.zeros((rp * cpw, kw * cout), jnp.float32),
+        ).reshape(rp, cpw, kw * cout)
+        out = y[:, 0:cp, 0:cout]
+        for kx in range(1, kw):
+            out = out + y[:, kx:kx + cp, kx * cout:(kx + 1) * cout]
+        return out
 
     def finish(acc, bias, act):
         y = acc + bias[:].astype(jnp.float32)
@@ -197,7 +289,7 @@ def conv_chain_pallas(
         # part's taps
         def start_dma(k):
             d = pltpu.make_async_copy(
-                part_hbm[k].at[ib, pl.ds(ti * th, sh), pl.ds(tj * tw, sw), :],
+                part_hbm[k].at[ib, pl.ds(ti * th, sh), pl.ds(tj * tw, swa), :],
                 slabs.at[k % 2],
                 sems.at[k % 2],
             )
@@ -244,9 +336,12 @@ def conv_chain_pallas(
             # next store (tap_sum_ref materializes its output value first)
             inter[0:ri, 0:ci, :] = x
             act = (i < n_convs - 1) or not last_linear
-            x = finish(
-                tap_sum_ref(inter, ri, ci, wrefs[n_groups + i - 1]),
-                brefs[i], act)
+            wr = wrefs[n_groups + i - 1]
+            if i == n_convs - 1 and nfold_last:
+                t = tap_sum_nfold(inter, ri, ci, wr, klh, klw, lco)
+            else:
+                t = tap_sum_ref(inter, ri, ci, wr)
+            x = finish(t, brefs[i], act)
             ri -= 2 * halos[i][0]
             ci -= 2 * halos[i][1]
             off += halos[i][0]
@@ -272,8 +367,8 @@ def conv_chain_pallas(
             (1, cout_last, th, tw), lambda ib, i, j: (ib, 0, i, j),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, sh, sw, 128), dtype),  # group slabs (2 slots)
-            pltpu.VMEM((sh, sw, 128), dtype),     # layer intermediate
+            pltpu.VMEM((2, sh, swa, 128), dtype),  # group slabs (2 slots)
+            pltpu.VMEM((sh, swa, 128), dtype),     # layer intermediate
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

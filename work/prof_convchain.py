@@ -44,14 +44,14 @@ for k, cin, cout in shapes:
 
 for name, fn in (
     ("xla           ", lambda *ps: conv_chain_xla(list(ps), weights, biases)),
-    ("pallas t16x128", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+    ("2d t16x128    ", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
                                                      tile_h=16, tile_w=128)),
-    ("pallas t32x128", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
-                                                     tile_h=32, tile_w=128)),
-    ("pallas t32x256", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+    ("2d t32x256    ", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
                                                      tile_h=32, tile_w=256)),
-    ("pallas t16x256", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
-                                                     tile_h=16, tile_w=256)),
+    ("2d t32x512    ", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+                                                     tile_h=32, tile_w=512)),
+    ("2d t48x256    ", lambda *ps: conv_chain_pallas(list(ps), weights, biases,
+                                                     tile_h=48, tile_w=256)),
 ):
     try:
         t = chained_time(dep(fn), tuple(parts), n_lo=2, n_hi=6)
