@@ -28,7 +28,7 @@ img1 = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 img2 = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 
 base = None
-for ablate in [(), ("warp",), ("corr",), ("S",), ("R",)]:
+for ablate in [(), ("warpS",), ("warpR",), ("Rconv",), ("upcorr",), ("warp", "corr")]:
     cfg = dataclasses.replace(model.cfg, ablate=ablate)
 
     def fn(a, b, cfg=cfg):
