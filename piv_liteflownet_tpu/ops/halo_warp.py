@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from piv_liteflownet_tpu.ops.warp import backwarp
