@@ -143,7 +143,15 @@ def hui_loss(level_eval: bool = False, mul_scale: float = 20, norm: str = "L1"):
 
 
 def piv_loss(level_eval: bool = False, mul_scale: float = 5, norm: str = "L1", version: int = 1):
-    """reference ``src/loss.py:202-217`` (weights from Cai 2019)."""
+    """reference ``src/loss.py:202-217`` (weights from Cai 2019).
+
+    Parity note: ``version=2`` carries the reference's 5 weights, but the v2
+    TRAINING forward (theirs and ours) emits 6 outputs — 5 levels plus the
+    full-res upsample (reference ``src/models.py:705-714``) — so the length
+    assert fires on both implementations; the reference's v2 training path
+    was never exercisable as shipped. For actual v2 training pass a 6-weight
+    ``MultiScale`` (see ``work/train_synth.py``).
+    """
     if version == 1:
         loss_weight = (0.001, 0.001, 0.001, 0.001, 0.001, 0.01)
     elif version == 2:

@@ -215,3 +215,39 @@ def test_trainer_cli_resume_equivalence(tmp_path):
     assert len(ma) == len(mb)
     for xa, xb in zip(ma, mb):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=0, atol=1e-6)
+
+
+def test_v2_train_step_with_six_weight_loss():
+    """The reference's v2 training path is latently broken (5-weight
+    piv_loss vs 6 pyramid outputs incl. the full-res upsample, reference
+    src/models.py:705-714 + src/loss.py:126); the working recipe is a
+    6-weight MultiScale. One step must run and produce finite loss/grads."""
+    from piv_liteflownet_tpu.models.factory import piv_liteflownet
+    from piv_liteflownet_tpu.training.loss import MultiScale
+    from piv_liteflownet_tpu.training.optim import make_optimizer
+
+    model = piv_liteflownet(version=2)
+    tx, _ = make_optimizer(model.params, model.cfg.lowest_level,
+                           weight_decay=0.0)
+    loss_obj = MultiScale(div_scale=1 / 5, startScale=2,
+                          l_weight=(0.001, 0.001, 0.001, 0.001, 0.01, 0.01))
+    step = make_train_step(model.cfg, loss_obj, tx)
+    rng = np.random.default_rng(3)
+    img1 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    img2 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    target = jnp.asarray(rng.standard_normal((2, 64, 64, 2)).astype(np.float32))
+    state = TrainState(model.params, tx.init(model.params), jnp.zeros((), jnp.int32))
+    state, metrics = step(state, img1, img2, target, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+    # the reference-parity 5-weight loss must fail the same way the
+    # reference does (documented latent bug, not silent misbehavior)
+    import pytest as _pytest
+    from piv_liteflownet_tpu.training.loss import piv_loss as _pl
+
+    bad = make_train_step(model.cfg, _pl(version=2), tx)
+    with _pytest.raises(AssertionError):
+        bad(TrainState(model.params, tx.init(model.params),
+                       jnp.zeros((), jnp.int32)),
+            img1, img2, target, jax.random.PRNGKey(0))

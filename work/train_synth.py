@@ -36,14 +36,15 @@ from piv_liteflownet_tpu.training.loss import EPE, piv_loss
 from piv_liteflownet_tpu.training.optim import make_optimizer
 
 SIZE = 256
+VERSION = int(os.environ.get("SYNTH_VERSION", "1"))
 BATCH = int(os.environ.get("SYNTH_BATCH", "8"))
 MAX_STEPS = int(os.environ.get("SYNTH_STEPS", "12000"))
 VAL_EVERY = 200
 TARGET_EPE = 0.3
-OUT = "/root/repo/work/synth_run"
+OUT = "/root/repo/work/synth_run" + ("" if int(os.environ.get("SYNTH_VERSION", "1")) == 1 else "_v2")
 os.makedirs(OUT, exist_ok=True)
 
-model = piv_liteflownet(version=1)
+model = piv_liteflownet(version=VERSION)
 cfg = model.cfg
 gen = ParticleImageGen(image_size=(SIZE, SIZE))
 
@@ -82,13 +83,31 @@ def make_batch(key):
 tx, _ = make_optimizer(model.params, cfg.lowest_level, optimizer="Adam",
                        lr=float(os.environ.get("SYNTH_LR", "1e-4")),
                        low_lr=6e-5, weight_decay=0.0)
-step_fn = make_train_step(cfg, piv_loss(version=1), tx)
+if VERSION == 1:
+    loss_obj = piv_loss(version=1)
+else:
+    # The reference's v2 training path is latently broken: its v2 forward
+    # emits 6 training outputs (5 levels + the full-res upsample, reference
+    # src/models.py:705-714) but piv_loss(version=2) carries 5 weights and
+    # MultiScale asserts len equality (src/loss.py:126). Train with the
+    # 6-weight extension (upsampled output weighted like the finest level).
+    from piv_liteflownet_tpu.training.loss import MultiScale
+
+    loss_obj = MultiScale(div_scale=1 / 5, startScale=2,
+                          l_weight=(0.001, 0.001, 0.001, 0.001, 0.01, 0.01))
+step_fn = make_train_step(cfg, loss_obj, tx)
 state = TrainState(model.params, tx.init(model.params), jnp.zeros((), jnp.int32))
 
 
 @jax.jit
 def val_epe(params, img1, img2, flows):
     out = forward(params, img1, img2, cfg, train=False)
+    if out.shape[1] != img1.shape[1]:
+        # v2 eval flow is on the half-res grid with values already in
+        # input-pixel units (estimate() does the same resize, inference.py)
+        from piv_liteflownet_tpu.ops.resize import resize_bilinear
+
+        out = resize_bilinear(out, img1.shape[1], img1.shape[2])
     return EPE(out, flows, mean=True)
 
 
