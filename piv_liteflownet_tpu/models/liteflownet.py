@@ -105,6 +105,14 @@ class ModelConfig:
     #    does not reach MXU rate under Mosaic. Kept as the measured record;
     #    a rewrite would need explicit (M,K)x(K,N) im2col tiling.
     conv_impl: str = "xla"
+    # Run NetC (and the per-level ext convs) over the batch-concat of
+    # (img1, img2) as ONE call: exact — batch rows are independent — and it
+    # doubles the effective conv batch, which XLA's large-frame conv tiling
+    # wants (full MXU rate needs batch >= 8; measured r2/r3). "auto" enables
+    # it when B < 8 and no sharding context is active (a batch concat across
+    # a sharded batch axis would insert resharding collectives); "on"/"off"
+    # force it.
+    netc_joint: str = "auto"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
@@ -422,6 +430,9 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
 
     x = corr
     n_convs = 4 if cfg.version == 1 else 6
+    if "Mconv" in cfg.ablate:  # attribution only: skip the M conv stack
+        x = jnp.asarray(1e-30, corr.dtype) * corr[..., :2]
+        return x + flow if flow is not None else x
     if _use_pallas_convs(cfg, x.shape):
         x = _pallas_chain(p, f"{pfx}.conv_M", n_convs, [x], last_linear=True)
         return x + flow if flow is not None else x
@@ -525,7 +536,10 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
         for ci in range(1, 6):
             x = _cl(p, f"{pfx}.conv_R.{2 * ci}", x, 1, 1, precision)
 
-    if level < 5:
+    if "dist" in cfg.ablate:  # attribution only: skip the dist convs
+        d = RDIST[level]
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, max(0, d - x.shape[-1])),))[..., :d]
+    elif level < 5:
         x = _c(p, f"{pfx}.conv_dist_R.0", x, 1, (PLAST[level], 0), precision)
         x = _c(p, f"{pfx}.conv_dist_R.1", x, 1, (0, PLAST[level]), precision)
     else:
@@ -572,8 +586,19 @@ def forward(
     x2 = img2 - mean[3:]
     in_h, in_w = x1.shape[1], x1.shape[2]
 
-    feat1 = _netc(params, x1, precision)
-    feat2 = _netc(params, x2, precision)
+    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+    batch = x1.shape[0]
+    netc_joint = cfg.netc_joint == "on" or (
+        cfg.netc_joint == "auto" and batch < 8 and get_spatial_ctx() is None
+    )
+    if netc_joint:
+        feats = _netc(params, jnp.concatenate([x1, x2], axis=0), precision)
+        feat1 = [f[:batch] for f in feats]
+        feat2 = [f[batch:] for f in feats]
+    else:
+        feat1 = _netc(params, x1, precision)
+        feat2 = _netc(params, x2, precision)
 
     # Image pyramid at feature resolutions (list index = actual level - 1).
     pyr1, pyr2 = [x1], [x2]
@@ -593,8 +618,14 @@ def forward(
         if level <= 2:
             # reference quirk: list idx 1 (level 2) -> ext[0]; idx 0 (level 1) -> ext[-1]
             ext_idx = 0 if level == 2 else n_ext - 1
-            f1_in = _cl(params, f"NetC_ext.{ext_idx}.conv_ext.0", feat1[li], 1, 0, precision)
-            f2_in = _cl(params, f"NetC_ext.{ext_idx}.conv_ext.0", feat2[li], 1, 0, precision)
+            ext_name = f"NetC_ext.{ext_idx}.conv_ext.0"
+            if netc_joint:
+                f12 = _cl(params, ext_name,
+                          jnp.concatenate([feat1[li], feat2[li]], axis=0), 1, 0, precision)
+                f1_in, f2_in = f12[:batch], f12[batch:]
+            else:
+                f1_in = _cl(params, ext_name, feat1[li], 1, 0, precision)
+                f2_in = _cl(params, ext_name, feat2[li], 1, 0, precision)
         else:
             f1_in, f2_in = feat1[li], feat2[li]
 
