@@ -290,7 +290,10 @@ def _band_starts(h: int, k: int, halo: int):
 
 
 def _space_to_batch(x, k: int, halo: int):
-    """[B,H,W,C] -> [k*B, H/k + 2*halo, W, C], overlapping H-bands (band-major).
+    """[B,H,W,C] -> [B*k, H/k + 2*halo, W, C], overlapping H-bands
+    (BATCH-major flattening: row ``j`` is batch ``j // k``, band ``j % k`` —
+    the order ``ops.warp.gather_warp_banded`` emits for free, so copy-banded
+    and gather-emitted bands can feed the same conv).
 
     Band windows are CLAMPED inside the image (edge bands are shifted inward
     rather than padded): a chain of SAME-padded convs on the bands is then
@@ -302,7 +305,7 @@ def _space_to_batch(x, k: int, halo: int):
     b, h, w, c = x.shape
     starts, _, bh2 = _band_starts(h, k, halo)
     bands = [x[:, s : s + bh2] for s in starts]
-    return jnp.concatenate(bands, axis=0)
+    return jnp.stack(bands, axis=1).reshape(b * k, bh2, w, c)
 
 
 def _batch_to_space(y, k: int, halo: int):
@@ -312,8 +315,9 @@ def _batch_to_space(y, k: int, halo: int):
     bh = bh2 - 2 * halo
     h = k * bh
     starts, _, _ = _band_starts(h, k, halo)
+    yr = y.reshape(b, k, bh2, *y.shape[2:])
     return jnp.concatenate(
-        [y[i * b : (i + 1) * b, i * bh - starts[i] : i * bh - starts[i] + bh]
+        [yr[:, i, i * bh - starts[i] : i * bh - starts[i] + bh]
          for i in range(k)],
         axis=1,
     )
@@ -451,18 +455,34 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
 def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     """NetE-S subpixel refinement (reference src/models.py:190-217)."""
     sf = cfg.scale_factor(level)
+    n_convs = 4 if cfg.version == 1 else 6
+    halo = (n_convs - 1) + PLAST[level]
+    k = _band_plan(f1.shape, halo) if cfg.conv_bands else 1
+    if k > 1 and f2p is not None and "warpS" not in cfg.ablate:
+        # Producer-fused banding: the warp gather EMITS the band layout
+        # (index arrangement is free on a descriptor-bound gather), so the
+        # expensive tensor of the stack never makes a band-copy round-trip.
+        from piv_liteflownet_tpu.ops.warp import gather_warp_banded
+
+        starts, _, bh2 = _band_starts(f1.shape[1], k, halo)
+        f2w_b = _bar(gather_warp_banded(
+            f2p, f2.shape[1], f2.shape[2], flow * sf, starts, bh2))
+        parts = [_space_to_batch(f1, k, halo), f2w_b,
+                 _space_to_batch(flow, k, halo)]
+        x = _cl_split(p, f"{pfx}.conv_S.0", parts, 1, precision)
+        for ci in range(1, n_convs - 1):
+            x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
+        x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+        return _batch_to_space(x, k, halo) + flow
     if "warpS" in cfg.ablate:
         f2w = f2
     elif f2p is not None:
         f2w = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], flow * sf))
     else:
         f2w = _warp(cfg, f2, flow * sf)
-    n_convs = 4 if cfg.version == 1 else 6
     parts = [f1, f2w, flow]
     if _use_pallas_convs(cfg, f1.shape):
         return _pallas_chain(p, f"{pfx}.conv_S", n_convs, parts, last_linear=True) + flow
-    halo = (n_convs - 1) + PLAST[level]
-    k = _band_plan(f1.shape, halo) if cfg.conv_bands else 1
     if k > 1:
         parts = [_space_to_batch(t, k, halo) for t in parts]
     # first conv split per concat part: keeps the feature convs 128-lane
@@ -509,21 +529,21 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
             jnp.sqrt(jnp.sum(jnp.square(img1 - rgb_warp), axis=-1, keepdims=True))
         )
 
-    if level < 5:
-        feat_r = _cl(p, f"{pfx}.moduleFeat.0", feat1, 1, 0, precision)
-    else:
-        feat_r = feat1
-
     # H radius of the banded region: 6 3x3 convs + the (k x 1) dist conv +
     # the unfold's k x k patches
     halo = 6 + 2 * PLAST[level]
     bk = _band_plan(flow.shape, halo) if cfg.conv_bands else 1
     flow_b = flow
     if bk > 1:
-        norm, rm_flow, feat_r = (
-            _space_to_batch(t, bk, halo) for t in (norm, rm_flow, feat_r)
+        # band feat1 BEFORE moduleFeat: 32/96-ch copy instead of 128-ch
+        norm, rm_flow, feat1 = (
+            _space_to_batch(t, bk, halo) for t in (norm, rm_flow, feat1)
         )
         flow_b = _space_to_batch(flow, bk, halo)
+    if level < 5:
+        feat_r = _cl(p, f"{pfx}.moduleFeat.0", feat1, 1, 0, precision)
+    else:
+        feat_r = feat1
 
     if "Rconv" in cfg.ablate:  # skip the 6-conv stack, keep dist+smooth
         x = jnp.pad(feat_r[..., :32], ((0, 0),) * 3 + ((0, max(0, 32 - feat_r.shape[-1])),))

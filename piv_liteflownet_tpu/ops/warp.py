@@ -110,3 +110,59 @@ def gather_warp(packed: jax.Array, h: int, w: int, flow: jax.Array,
     weights = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B,hs,ws,4]
     weights = jnp.where(oob[..., None], jnp.zeros((), dtype), weights)
     return jnp.einsum("bhwk,bhwkc->bhwc", weights, vals)
+
+
+def gather_warp_banded(packed: jax.Array, h: int, w: int, flow: jax.Array,
+                       starts, bh2: int, stride: int = 1) -> jax.Array:
+    """:func:`gather_warp`, but emitting the space-to-batch H-band layout
+    DIRECTLY: [B, hs, ws, 2] flow -> [B*k, bh2, ws, C] output, band windows
+    ``rows starts[i] .. starts[i]+bh2`` of the output grid (batch-major
+    flattening: output row ``j`` is batch ``j // k``, band ``j % k``).
+
+    The band layout costs NOTHING here — the gather is descriptor-bound, and
+    banding only rearranges (plus slightly duplicates, halo rows only) which
+    descriptors are issued. This is the producer-fused alternative to
+    ``_space_to_batch`` on a materialized warp output (an HBM round-trip of
+    the full tensor), built so downstream conv stacks can run at the batch
+    >= 8 rate XLA's large-frame conv tiling wants.
+    """
+    b = packed.shape[0]
+    c = packed.shape[-1] // 4
+    dtype = packed.dtype
+    ws = flow.shape[2]
+    k = len(starts)
+
+    starts_a = jnp.asarray(starts, jnp.int32)  # [k], output-grid row units
+    # banded flow: [B, k, bh2, ws, 2] (2-channel copy — negligible traffic)
+    row_idx = starts_a[:, None] + jnp.arange(bh2, dtype=jnp.int32)[None]  # [k, bh2]
+    flow_b = flow[:, row_idx]  # [B, k, bh2, ws, 2]
+
+    ix = lax.broadcasted_iota(jnp.float32, (bh2, ws), 1) * stride
+    iy = (row_idx.astype(jnp.float32) * stride)[:, :, None]  # [k, bh2, 1]
+    x = ix[None, None] + flow_b[..., 0].astype(jnp.float32)
+    y = iy[None] + flow_b[..., 1].astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dtype)
+    wy = (y - y0).astype(dtype)
+
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    oob = (xi < -1) | (xi > w - 1) | (yi < -1) | (yi > h - 1)
+    xc = jnp.clip(xi + 1, 0, w)
+    yc = jnp.clip(yi + 1, 0, h)
+    flat_idx = (yc * (w + 1) + xc).reshape(b, k * bh2 * ws)
+    vals = jnp.take_along_axis(
+        packed, flat_idx[..., None], axis=1, mode="promise_in_bounds",
+    ).reshape(b, k, bh2, ws, 4, c)
+
+    one = jnp.asarray(1, dtype)
+    w00 = (one - wx) * (one - wy)
+    w01 = wx * (one - wy)
+    w10 = (one - wx) * wy
+    w11 = wx * wy
+    weights = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B,k,bh2,ws,4]
+    weights = jnp.where(oob[..., None], jnp.zeros((), dtype), weights)
+    out = jnp.einsum("bkhwt,bkhwtc->bkhwc", weights, vals)
+    return out.reshape(b * k, bh2, ws, c)

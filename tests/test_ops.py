@@ -162,3 +162,39 @@ def test_deconv_phase_decomposition_matches_conv_path():
         a = depthwise_deconv4x2(x, w)
         b = _deconv4x2_phases(x, w)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_gather_warp_banded_matches_space_to_batch():
+    """gather_warp_banded(starts, bh2) must equal banding the full warp."""
+    from piv_liteflownet_tpu.models.liteflownet import _band_starts, _space_to_batch
+    from piv_liteflownet_tpu.ops.warp import gather_warp, gather_warp_banded, pack_img
+
+    rng = np.random.default_rng(7)
+    b, h, w, c = 2, 48, 40, 5
+    img = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+    flow = jnp.asarray((rng.random((b, h, w, 2), dtype=np.float32) - 0.5) * 9)
+
+    packed = pack_img(img)
+    k, halo = 4, 5
+    starts, _, bh2 = _band_starts(h, k, halo)
+    want = _space_to_batch(gather_warp(packed, h, w, flow), k, halo)
+    got = gather_warp_banded(packed, h, w, flow, starts, bh2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gather_warp_banded_stride2():
+    from piv_liteflownet_tpu.models.liteflownet import _band_starts, _space_to_batch
+    from piv_liteflownet_tpu.ops.warp import gather_warp, gather_warp_banded, pack_img
+
+    rng = np.random.default_rng(8)
+    b, h, w, c = 1, 64, 32, 3
+    img = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+    hs, ws = h // 2, w // 2
+    flow = jnp.asarray((rng.random((b, hs, ws, 2), dtype=np.float32) - 0.5) * 7)
+
+    packed = pack_img(img)
+    k, halo = 2, 4
+    starts, _, bh2 = _band_starts(hs, k, halo)
+    want = _space_to_batch(gather_warp(packed, h, w, flow, 2), k, halo)
+    got = gather_warp_banded(packed, h, w, flow, starts, bh2, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
