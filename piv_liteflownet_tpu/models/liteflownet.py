@@ -621,11 +621,20 @@ def forward(
         feat2 = _netc(params, x2, precision)
 
     # Image pyramid at feature resolutions (list index = actual level - 1).
-    pyr1, pyr2 = [x1], [x2]
-    for li in range(1, 6):
-        h, w = feat1[li].shape[1], feat1[li].shape[2]
-        pyr1.append(resize_bilinear(pyr1[-1], h, w, precision))
-        pyr2.append(resize_bilinear(pyr2[-1], h, w, precision))
+    if netc_joint:  # one 2B-batch resize chain (exact, like NetC above)
+        pyr1, pyr2 = [x1], [x2]
+        p12 = jnp.concatenate([x1, x2], axis=0)
+        for li in range(1, 6):
+            h, w = feat1[li].shape[1], feat1[li].shape[2]
+            p12 = resize_bilinear(p12, h, w, precision)
+            pyr1.append(p12[:batch])
+            pyr2.append(p12[batch:])
+    else:
+        pyr1, pyr2 = [x1], [x2]
+        for li in range(1, 6):
+            h, w = feat1[li].shape[1], feat1[li].shape[2]
+            pyr1.append(resize_bilinear(pyr1[-1], h, w, precision))
+            pyr2.append(resize_bilinear(pyr2[-1], h, w, precision))
 
     levels = cfg.levels  # low..high actual levels
     n_ext = max(0, 2 - (cfg.lowest_level - 1))
