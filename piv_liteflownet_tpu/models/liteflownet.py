@@ -105,6 +105,15 @@ class ModelConfig:
     #    does not reach MXU rate under Mosaic. Kept as the measured record;
     #    a rewrite would need explicit (M,K)x(K,N) im2col tiling.
     conv_impl: str = "xla"
+    # Correlation implementation ("xla" | "planar"):
+    #  - "xla" (DEFAULT): shift-stack (ops/correlation.py), differentiable.
+    #  - "planar": Pallas planar kernel (ops/pallas_corr.py,
+    #    correlation_planar_pallas) — W on the 128-lane axis, channel
+    #    accumulation instead of a per-tap cross-lane reduce; the 49 taps
+    #    read VMEM-resident slabs instead of re-reading HBM. Forward-only
+    #    (training forces "xla"); applies on frames wide enough to fill the
+    #    lanes (subsampled W >= 128), CPU-gated like the other kernels.
+    corr_impl: str = "xla"
     # Run NetC (and the per-level ext convs) over the batch-concat of
     # (img1, img2) as ONE call: exact — batch rows are independent — and it
     # doubles the effective conv batch, which XLA's large-frame conv tiling
@@ -405,6 +414,18 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     if flow is not None:
         flow = depthwise_deconv4x2(flow, p[f"{pfx}.upConv_M.weight"], precision)
 
+    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+    def _corr1(a, b):
+        """stride-1 cost volume through the configured implementation."""
+        if (cfg.corr_impl == "planar" and get_spatial_ctx() is None
+                and a.shape[2] >= 128 and a.shape[1] >= 16
+                and jax.default_backend() != "cpu"):
+            from piv_liteflownet_tpu.ops.pallas_corr import correlation_planar_pallas
+
+            return correlation_planar_pallas(_bar(a), _bar(b))
+        return correlation(a, b, 1)
+
     if "corr" in cfg.ablate:
         b_, h_, w_, _ = f1.shape
         corr = jnp.zeros((b_, h_, w_, 49), f1.dtype) + f1[..., :1]
@@ -415,7 +436,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
             f2c = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], flow * sf))
         else:
             f2c = _warp(cfg, f2, flow * sf)
-        corr = leaky_relu(correlation(f1, f2c, 1))
+        corr = leaky_relu(_corr1(f1, f2c))
     else:
         f1s = _bar(f1[:, ::2, ::2])
         if flow is not None and "warp" not in cfg.ablate:
@@ -426,7 +447,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
                 f2s = _warp(cfg, f2, fsub, stride=2)
         else:
             f2s = f2[:, ::2, ::2]
-        corr = leaky_relu(correlation(f1s, f2s, 1))
+        corr = leaky_relu(_corr1(f1s, f2s))
         if "upcorr" not in cfg.ablate:
             corr = depthwise_deconv4x2(corr, p[f"{pfx}.upCorr_M.weight"], precision)
         else:
@@ -600,6 +621,9 @@ def forward(
     if train and cfg.conv_impl != "xla":
         # the fused conv-chain kernel is forward-only
         cfg = dataclasses.replace(cfg, conv_impl="xla")
+    if train and cfg.corr_impl != "xla":
+        # the planar correlation kernel is forward-only
+        cfg = dataclasses.replace(cfg, corr_impl="xla")
 
     mean = jnp.asarray(cfg.rgb_mean, img1.dtype)
     x1 = img1 - mean[:3]

@@ -103,3 +103,93 @@ def correlation_pallas(f1s: jax.Array, f2s: jax.Array, tile_h: int = 32,
         interpret=interpret,
     )(f1p, f2p)
     return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Planar (W-on-lanes) correlation: accumulate over channels, no lane reduce
+# ---------------------------------------------------------------------------
+#
+# The NHWC kernel above puts C on the 128-lane axis, so every tap pays a
+# cross-lane reduction (log2(128) shuffle steps) and half the lanes are
+# zero padding at C=64 — measured only ~parity with the XLA shift-stack.
+# This variant transposes to planar [B, C, H, W] OUTSIDE the kernel (one XLA
+# transpose, ~0.3 ms at 1024^2-derived sizes) and puts W on the lanes:
+# per displacement tap the reduction over C becomes a pure FMA accumulation
+# of [th, W] vector rows, which is exactly what the 8x128 VPU does at rate.
+# The XLA shift-stack instead re-reads both maps from HBM for all 49 taps
+# (measured 17.7 ms/pair of the v1 @1024^2 budget).
+
+
+def _corr_planar_kernel(f1_ref, f2p_ref, out_ref, slab_ref, sem, *,
+                        th: int, wp: int, c: int, inv_c: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ib = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        f2p_ref.at[ib, :, pl.ds(ti * th, th + 2 * MD), :],
+        slab_ref,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    f32 = jnp.float32
+    for dy in range(2 * MD + 1):
+        for dx in range(2 * MD + 1):
+            def body(ci, acc):
+                a = f1_ref[0, ci].astype(f32)                      # [th, wp]
+                bv = slab_ref[ci, dy : dy + th, dx : dx + wp].astype(f32)
+                return acc + a * bv
+
+            acc = jax.lax.fori_loop(
+                0, c, body, jnp.zeros((th, wp), f32), unroll=8)
+            out_ref[0, dy * (2 * MD + 1) + dx] = (
+                acc * inv_c).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def correlation_planar_pallas(f1s: jax.Array, f2s: jax.Array,
+                              tile_h: int = 16,
+                              interpret: bool = False) -> jax.Array:
+    """Planar 49-tap cost volume on ALREADY phase-subsampled maps.
+
+    [B,H,W,C] x2 (NHWC in) -> [B,H,W,49]; layout transposes happen in XLA
+    around the kernel. Forward-only (inference path).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = f1s.shape
+    th = tile_h
+    hp = _round_up(h, th)
+    wp = _round_up(w, 128)
+    swp = wp + 8  # lane slack for the dx in [0, 6] shifted slices
+
+    f1t = f1s.transpose(0, 3, 1, 2)  # [B, C, H, W]
+    f2t = f2s.transpose(0, 3, 1, 2)
+    f1p = jnp.pad(f1t, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    # f2: MD-row halo top/bottom, MD-lane left shift, slack right
+    f2p = jnp.pad(
+        f2t, ((0, 0), (0, 0), (MD, MD + hp - h), (MD, swp - w - MD)))
+
+    out = pl.pallas_call(
+        functools.partial(_corr_planar_kernel, th=th, wp=wp, c=c, inv_c=1.0 / c),
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec((1, c, th, wp), lambda ib, i: (ib, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, NDISP, th, wp), lambda ib, i: (ib, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, NDISP, hp, wp), f1s.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, th + 2 * MD, swp), f2s.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(f1p, f2p)
+    return out[:, :, :h, :w].transpose(0, 2, 3, 1)

@@ -42,3 +42,22 @@ def test_pallas_correlation_on_device(shape):
     got = np.asarray(correlation_pallas(f1, f2))
     ref = np.asarray(correlation_xla(f1, f2, 1))
     np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+
+@requires_tpu
+@pytest.mark.parametrize("shape,dtype", [
+    ((1, 128, 128, 64), jnp.float32),
+    ((2, 96, 200, 96), jnp.float32),
+    ((2, 128, 512, 64), jnp.bfloat16),
+])
+def test_planar_correlation_on_device(shape, dtype):
+    from piv_liteflownet_tpu.ops.correlation import correlation_xla
+    from piv_liteflownet_tpu.ops.pallas_corr import correlation_planar_pallas
+
+    key = jax.random.PRNGKey(0)
+    f1 = jax.random.normal(key, shape, jnp.float32).astype(dtype)
+    f2 = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32).astype(dtype)
+    got = np.asarray(correlation_planar_pallas(f1, f2).astype(jnp.float32))
+    ref = np.asarray(correlation_xla(f1, f2, 1).astype(jnp.float32))
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(got, ref, atol=tol, rtol=tol)
