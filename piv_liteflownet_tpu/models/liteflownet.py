@@ -69,15 +69,19 @@ class ModelConfig:
         0.411618, 0.434631, 0.454253, 0.410782, 0.433645, 0.452793,
     )
     dtype: jnp.dtype = jnp.float32
-    # Feature-warp implementation. Only "gather" ships: the packed 4-tap
-    # single-gather (ops/warp.py) — TPU gathers are descriptor-bound, so all
-    # four bilinear corner taps ride one gather of 4C-wide rows. Exact
-    # grid_sample semantics, differentiable, ~25 ms/pair per 1024^2 warp of
-    # any width. Tent/window/Pallas alternatives were built and measured
-    # across rounds 2-3 and ALL lose in the fused model (r2: window 195 vs
-    # 144 ms/pair; r3: value-accumulated tent kernel 262 vs 144 and 30.3 vs
-    # 25.7 ms standalone at c=64) — they live in work/experiments/ as the
-    # measured record. The c<=4 case IS won by a kernel: see rgb_norm.
+    # Feature-warp implementation ("gather" | "tent"):
+    #  - "gather" (DEFAULT): packed 4-tap single-gather (ops/warp.py) — TPU
+    #    gathers are descriptor-bound, so all four bilinear corner taps ride
+    #    one gather of 4C-wide rows. Exact grid_sample semantics,
+    #    differentiable, ~25 ms/pair per 1024^2 warp of any width. The r2/r3
+    #    NHWC window/tent kernels ALL lost to it (work/experiments/ is the
+    #    measured record).
+    #  - "tent": planar Pallas tent kernel for the S warps
+    #    (ops/pallas_feat_warp.py) — W on lanes (full VPU width at any c),
+    #    per-tile integer base shifts applied by on-chip dynamic rotates so
+    #    the tent is only 8x8 taps. Guarded by the on-device residual check
+    #    with exact gather fallback; forward-only (training forces gather);
+    #    CPU-gated like the other kernels.
     warp_impl: str = "gather"
     # Space-to-batch conv banding (exact; test_banding.py): lifts isolated
     # b<8 conv stacks from ~19 to ~6.6 ms/4Mpx, but measured NET-SLOWER
@@ -495,8 +499,19 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
             x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
         x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
         return _batch_to_space(x, k, halo) + flow
+    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
+
+    use_tent = (
+        cfg.warp_impl == "tent" and get_spatial_ctx() is None
+        and f2.shape[2] >= 128 and f2.shape[1] >= 16
+        and jax.default_backend() != "cpu"
+    )
     if "warpS" in cfg.ablate:
         f2w = f2
+    elif use_tent:
+        from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp
+
+        f2w = _bar(feat_warp(f2, flow * sf))
     elif f2p is not None:
         f2w = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], flow * sf))
     else:
@@ -624,6 +639,9 @@ def forward(
     if train and cfg.corr_impl != "xla":
         # the planar correlation kernel is forward-only
         cfg = dataclasses.replace(cfg, corr_impl="xla")
+    if train and cfg.warp_impl == "tent":
+        # the planar tent warp is forward-only
+        cfg = dataclasses.replace(cfg, warp_impl="gather")
 
     mean = jnp.asarray(cfg.rgb_mean, img1.dtype)
     x1 = img1 - mean[:3]

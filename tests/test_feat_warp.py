@@ -1,0 +1,54 @@
+"""Planar tent feature-warp kernel vs the packed gather (interpret mode).
+
+The kernel is exact (same grid_sample bilinear/zeros/align_corners=True
+semantics as ops/warp.py) whenever the per-tile residual bounds hold;
+``feat_warp`` checks them on device and falls back to the gather otherwise.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from piv_liteflownet_tpu.ops.pallas_feat_warp import (
+    feat_warp_bounds_ok,
+    feat_warp_pallas,
+)
+from piv_liteflownet_tpu.ops.warp import backwarp
+
+
+def _smooth_flow(h, w, u0, v0, amp=1.0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    u = u0 + amp * np.sin(xx / 60.0) + 0.4 * np.cos(yy / 35.0)
+    v = v0 + amp * np.cos(xx / 50.0) + 0.5 * np.sin(yy / 25.0)
+    return jnp.asarray(np.stack([u, v], -1).astype(np.float32))[None]
+
+
+@pytest.mark.parametrize("u0,v0", [(0.3, -0.7), (5.3, -2.1), (90.0, 3.0),
+                                   (0.2, -43.6), (-17.0, 11.2)])
+def test_tent_matches_gather(u0, v0):
+    rng = np.random.default_rng(0)
+    h, w, c = 48, 256, 8
+    img = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
+    flow = jnp.concatenate([_smooth_flow(h, w, u0, v0)] * 2, axis=0)
+    assert bool(feat_warp_bounds_ok(flow))
+    ref = np.asarray(backwarp(img, flow))
+    got = np.asarray(feat_warp_pallas(img, flow, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_bounds_reject_rough_flow():
+    rng = np.random.default_rng(1)
+    flow = jnp.asarray((rng.random((1, 32, 128, 2), dtype=np.float32) - 0.5) * 30)
+    assert not bool(feat_warp_bounds_ok(flow))
+
+
+def test_tent_zero_padding_semantics():
+    """Samples beyond the image blend with zeros exactly like grid_sample."""
+    rng = np.random.default_rng(2)
+    h, w, c = 32, 128, 4
+    img = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
+    flow = jnp.full((1, h, w, 2), jnp.float32(-6.6)).at[..., 1].set(-7.7)
+    ref = np.asarray(backwarp(img, flow))
+    got = np.asarray(feat_warp_pallas(img, flow, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -61,3 +61,27 @@ def test_planar_correlation_on_device(shape, dtype):
     ref = np.asarray(correlation_xla(f1, f2, 1).astype(jnp.float32))
     tol = 2e-6 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(got, ref, atol=tol, rtol=tol)
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_planar_feat_warp_on_device(dtype):
+    from piv_liteflownet_tpu.ops.pallas_feat_warp import (
+        feat_warp_bounds_ok,
+        feat_warp_pallas,
+    )
+    from piv_liteflownet_tpu.ops.warp import backwarp
+
+    b, h, w, c = 2, 96, 384, 64
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (b, h, w, c), jnp.float32).astype(dtype)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    u = 33.0 + 1.2 * jnp.sin(xx / 60.0) + 0.4 * jnp.cos(yy / 35.0)
+    v = -9.0 + 0.8 * jnp.cos(xx / 50.0) + 0.5 * jnp.sin(yy / 25.0)
+    flow = jnp.broadcast_to(jnp.stack([u + 0 * yy, v + 0 * xx], -1), (b, h, w, 2))
+    assert bool(feat_warp_bounds_ok(flow))
+    got = np.asarray(feat_warp_pallas(img, flow).astype(jnp.float32))
+    ref = np.asarray(backwarp(img.astype(dtype), flow).astype(jnp.float32))
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(got, ref, atol=tol)
