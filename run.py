@@ -51,6 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true",
                         help="Run params/activations in bfloat16 (fast path; "
                              "sub-0.1%% flow deltas vs float32).")
+    parser.add_argument("--warp_impl", type=str, default=None,
+                        choices=["gather", "tent"],
+                        help="Feature-warp implementation override "
+                             "(ModelConfig.warp_impl; default: model's).")
+    parser.add_argument("--corr_impl", type=str, default=None,
+                        choices=["xla", "planar"],
+                        help="Correlation implementation override "
+                             "(ModelConfig.corr_impl; default: model's).")
+    parser.add_argument("--conv_bands", action="store_true",
+                        help="Enable space-to-batch conv banding "
+                             "(ModelConfig.conv_bands).")
     parser.add_argument("--native_io", action="store_true",
                         help="Use the C++ pthread batch loader (libpivio) for "
                              "image ingest — PGM/PPM pair datasets only; other "
@@ -183,6 +194,18 @@ def main(argv=None):
         if weights is None:
             block.log("WARNING: no weight file found/given — using random initialization")
         model = factory(weights, version=args.version)
+        overrides = {k: getattr(args, k) for k in ("warp_impl", "corr_impl")
+                     if getattr(args, k) is not None}
+        if args.conv_bands:
+            overrides["conv_bands"] = True
+        if overrides:
+            import dataclasses
+
+            from piv_liteflownet_tpu.models.factory import Model
+
+            model = Model(cfg=dataclasses.replace(model.cfg, **overrides),
+                          params=model.params)
+            block.log(f"config overrides: {overrides}")
         if args.bf16:
             import jax.numpy as jnp
 
