@@ -43,6 +43,21 @@ def test_bounds_reject_rough_flow():
     assert not bool(feat_warp_bounds_ok(flow))
 
 
+def test_guarded_feat_warp_falls_back_on_rough_flow():
+    """feat_warp's on-device cond must route bound-violating flows to the
+    exact gather (both branches trace; interpret mode runs them on CPU)."""
+    from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp
+
+    rng = np.random.default_rng(3)
+    h, w, c = 32, 128, 4
+    img = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
+    flow = jnp.asarray((rng.random((1, h, w, 2), dtype=np.float32) - 0.5) * 30)
+    assert not bool(feat_warp_bounds_ok(flow))
+    ref = np.asarray(backwarp(img, flow))
+    got = np.asarray(feat_warp(img, flow, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_tent_zero_padding_semantics():
     """Samples beyond the image blend with zeros exactly like grid_sample."""
     rng = np.random.default_rng(2)
