@@ -16,11 +16,15 @@ SIZE = sys.argv[3] if len(sys.argv) > 3 else "1024"
 
 CONFIGS = [
     ("default", ""),
+    # canary: an unknown flag. If this config RUNS (instead of aborting in
+    # parse_flags_from_env), XLA_FLAGS never reach the compiler through the
+    # axon remote-compile path and the whole sweep is a no-op — note that
+    # instead of trusting "no effect" rows. (The CPU jaxlib rejects all
+    # xla_tpu_* names, so local validation says nothing about the TPU path.)
+    ("canary_bogus", "--xla_tpu_nonexistent_canary_flag=1"),
     ("vmem64M", "--xla_tpu_scoped_vmem_limit_kib=65536"),
     ("vmem96M", "--xla_tpu_scoped_vmem_limit_kib=98304"),
-    ("no_rewrite_infeed", "--xla_tpu_licm_size_inflation_ratio=1"),
-    ("flash_sched", "--xla_tpu_enable_latency_hiding_scheduler=true"),
-    ("async_fusion", "--xla_tpu_enable_async_collective_fusion=true"),
+    ("lhs_sched", "--xla_tpu_enable_latency_hiding_scheduler=true"),
 ]
 
 for name, flags in CONFIGS:
