@@ -79,6 +79,14 @@ def main():
         except Exception as e:
             print(f"bench {name} failed: {e}", file=sys.stderr)
 
+    # The 200 pairs/s north star is a v2-backbone x N-chips plan (BASELINE.md):
+    # inference DP has zero cross-chip communication (params replicated, batch
+    # sharded — parallel/, run.py --num_devices), so aggregate throughput is
+    # linear in chips up to the input pipeline. Projection from the measured
+    # single-chip v2 figure; only 1 real chip is reachable in this harness.
+    if "v2_pairs_per_sec" in extras:
+        extras["v2_x8_projected_linear_dp"] = round(extras["v2_pairs_per_sec"] * 8, 1)
+
     print(json.dumps({
         "metric": "1024^2 PIV pairs/sec/chip",
         "value": round(result, 3),
