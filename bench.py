@@ -6,34 +6,76 @@ chip, plus the v2 backbone (quarter-res decode) and the 256^2/512^2
 resolution-scaling figures as extras so progress on every size is
 machine-tracked round over round.
 
+Outage-resilient by construction (round-3 postmortem: the axon tunnel was
+down at capture time and backend init blocked ~25 min per attempt without
+erroring, so the driver's timeout fired before any JSON was printed —
+BENCH_r03.json rc=124, parsed=null):
+
+  1. The backend is probed FIRST in a subprocess under a hard timeout with
+     SIGKILL (the axon client ignores SIGTERM). If the probe fails, the
+     JSON line is printed immediately with value 0 and
+     ``backend_unavailable: true`` so the driver always records something.
+  2. Every measurement runs in its own time-boxed subprocess; one hung
+     config costs its own box, never the whole budget.
+  3. The headline JSON is printed (and flushed) as soon as the v1 sweep
+     finishes; a richer final JSON (extras + projections) is printed at the
+     end. The driver parses the LAST parseable JSON line, so a hang during
+     extras cannot erase the headline.
+
 Timing method: chained executable + full-sum scalar readback
 (piv_liteflownet_tpu/utils/benchmark.py) — ``block_until_ready`` is
 unreliable through the axon tunnel and sliced readbacks get DCE'd.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import jax.numpy as jnp  # noqa: E402
-
-from piv_liteflownet_tpu.models.factory import piv_liteflownet  # noqa: E402
-from piv_liteflownet_tpu.models.liteflownet import forward  # noqa: E402
-from piv_liteflownet_tpu.utils.benchmark import chained_time  # noqa: E402
+import time
 
 BASELINE_PAIRS_PER_SEC = 200.0
-SIZE = 1024
+METRIC = "1024^2 PIV pairs/sec/chip"
+PROBE_TIMEOUT_S = int(os.environ.get("PIV_BENCH_PROBE_TIMEOUT", "180"))
+# First fresh 1024^2 compile through the relay takes 2-6 min (work/OPS.md);
+# the persistent compilation cache makes repeats much cheaper.
+CONFIG_TIMEOUT_S = int(os.environ.get("PIV_BENCH_CONFIG_TIMEOUT", "900"))
+TOTAL_BUDGET_S = int(os.environ.get("PIV_BENCH_TOTAL_BUDGET", "3000"))
 
 
-def bench_version(version: int, batch: int, dtype=jnp.bfloat16, size: int = SIZE) -> float:
+# ---------------------------------------------------------------------------
+# Child modes: run a single measurement (or probe) inside one process whose
+# lifetime the orchestrator bounds with SIGKILL.
+# ---------------------------------------------------------------------------
+
+def _child_setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def child_probe() -> None:
+    """Tiny end-to-end op proving the backend can init, compile, and read back."""
+    jax = _child_setup()
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    val = float(jax.jit(lambda a: (a @ a).sum())(x))
+    print(f"PROBE_OK {jax.default_backend()} {val}", flush=True)
+
+
+def child_one(version: int, batch: int, dtype_name: str, size: int) -> None:
+    jax = _child_setup()
+    import jax.numpy as jnp
+
+    from piv_liteflownet_tpu.models.factory import piv_liteflownet
+    from piv_liteflownet_tpu.models.liteflownet import forward
+    from piv_liteflownet_tpu.utils.benchmark import chained_time
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = piv_liteflownet(version=version)
     params = jax.tree.map(lambda x: x.astype(dtype), model.params)
     cfg = model.cfg
@@ -45,28 +87,95 @@ def bench_version(version: int, batch: int, dtype=jnp.bfloat16, size: int = SIZE
     img1 = jax.random.uniform(key, (batch, size, size, 3), dtype)
     img2 = jax.random.uniform(jax.random.fold_in(key, 1), (batch, size, size, 3), dtype)
     t = chained_time(fn, (img1, img2))
-    return batch / t
+    print(f"RESULT {batch / t:.6f}", flush=True)
 
 
-def main():
-    result = 0.0
-    v1_ok = False
-    # batch sweep finding (BASELINE.md): with the fused rgb-norm kernel the
-    # HBM squeeze eased and b=4 became the best per-pair v1 config
-    # (r3: 129.0 ms/pair vs 132.3 at b2, 137.2 at b8).
-    for batch, dtype in ((4, jnp.bfloat16), (2, jnp.bfloat16), (1, jnp.bfloat16),
-                         (1, jnp.float32)):
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def _run_boxed(args: list[str], timeout_s: int) -> tuple[int, str]:
+    """Run a child bench process; SIGKILL on timeout (axon ignores SIGTERM)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__), *args],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out or ""
+    except subprocess.TimeoutExpired:
+        proc.kill()
         try:
-            result = bench_version(1, batch, dtype)
-            v1_ok = True
-            break
-        except Exception as e:  # OOM or compile failure: shrink
-            print(f"bench v1 b={batch} {dtype.__name__} failed: {e}", file=sys.stderr)
+            out, _ = proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            out = ""
+        return -9, (out or "") + f"\n[killed after {timeout_s}s]"
 
-    extras = {"method": "chained-scan+scalar-readback", "batch": batch}
-    if not v1_ok:
-        extras["v1_failed"] = True
-    # Secondary figures: v2 backbone (the north-star path) + resolution table.
+
+def _measure(version: int, batch: int, dtype: str, size: int,
+             timeout_s: int) -> float | None:
+    rc, out = _run_boxed(["--one", str(version), str(batch), dtype, str(size)], timeout_s)
+    for line in reversed(out.splitlines()):
+        if line.startswith("RESULT "):
+            return float(line.split()[1])
+    tail = "\n".join(out.splitlines()[-3:])
+    print(f"bench v{version} b={batch} {dtype} {size}^2 failed (rc={rc}): {tail}",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def main() -> None:
+    t_start = time.time()
+
+    def budget_left() -> float:
+        return TOTAL_BUDGET_S - (time.time() - t_start)
+
+    # 1. Backend probe under a hard box. A down tunnel must cost minutes, not
+    #    the driver's whole budget.
+    if os.environ.get("PIV_BENCH_ASSUME_DOWN"):
+        rc, out = 1, "[simulated outage: PIV_BENCH_ASSUME_DOWN]"
+    else:
+        rc, out = _run_boxed(["--probe"], PROBE_TIMEOUT_S)
+    if rc != 0 or "PROBE_OK" not in out:
+        print(f"backend probe failed (rc={rc}): {out.splitlines()[-1] if out else ''}",
+              file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
+            "backend_unavailable": True,
+        }), flush=True)
+        return
+
+    # 2. v1 headline sweep. Batch sweep finding (BASELINE.md): with the fused
+    #    rgb-norm kernel the HBM squeeze eased and b=4 became the best
+    #    per-pair v1 config (r3: 129.0 ms/pair vs 132.3 at b2, 137.2 at b8).
+    result = 0.0
+    v1_batch: int | None = None
+    for batch, dtype in ((4, "bfloat16"), (2, "bfloat16"), (1, "bfloat16"), (1, "float32")):
+        if budget_left() < 120:
+            break
+        r = _measure(1, batch, dtype, 1024, min(CONFIG_TIMEOUT_S, int(budget_left())))
+        if r is not None:
+            result, v1_batch = r, batch
+            break
+
+    headline = {
+        "metric": METRIC,
+        "value": round(result, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(result / BASELINE_PAIRS_PER_SEC, 4),
+        "method": "chained-scan+scalar-readback",
+        "batch": v1_batch,
+    }
+    if v1_batch is None:
+        headline["v1_failed"] = True
+    # Headline goes out NOW — a hang in the extras below cannot erase it.
+    print(json.dumps(headline), flush=True)
+
+    # 3. Extras: v2 backbone (the north-star path) + resolution table.
+    extras: dict[str, float] = {}
     for name, version, b, size in (
         ("v2_pairs_per_sec", 2, 4, 1024),
         ("v1_512", 1, 8, 512),
@@ -74,27 +183,34 @@ def main():
         ("v1_256", 1, 16, 256),
         ("v2_256", 2, 16, 256),
     ):
-        try:
-            extras[name] = round(bench_version(version, b, size=size), 3)
-        except Exception as e:
-            print(f"bench {name} failed: {e}", file=sys.stderr)
+        if budget_left() < 120:
+            print(f"bench budget exhausted before {name}", file=sys.stderr, flush=True)
+            break
+        r = _measure(version, b, "bfloat16", size, min(CONFIG_TIMEOUT_S, int(budget_left())))
+        if r is not None:
+            extras[name] = round(r, 3)
 
     # The 200 pairs/s north star is a v2-backbone x N-chips plan (BASELINE.md):
     # inference DP has zero cross-chip communication (params replicated, batch
     # sharded — parallel/, run.py --num_devices), so aggregate throughput is
-    # linear in chips up to the input pipeline. Projection from the measured
-    # single-chip v2 figure; only 1 real chip is reachable in this harness.
+    # linear in chips up to the input pipeline. Only 1 real chip is reachable
+    # in this harness, so the x8 figure is a PROJECTION, kept under its own
+    # key so it cannot be misread as a measurement.
+    projections = {}
     if "v2_pairs_per_sec" in extras:
-        extras["v2_x8_projected_linear_dp"] = round(extras["v2_pairs_per_sec"] * 8, 1)
+        projections["v2_x8_linear_dp"] = round(extras["v2_pairs_per_sec"] * 8, 1)
 
-    print(json.dumps({
-        "metric": "1024^2 PIV pairs/sec/chip",
-        "value": round(result, 3),
-        "unit": "pairs/s",
-        "vs_baseline": round(result / BASELINE_PAIRS_PER_SEC, 4),
-        **extras,
-    }))
+    final = dict(headline)
+    final.update(extras)
+    if projections:
+        final["projections"] = projections
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        child_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--one":
+        child_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
+    else:
+        main()

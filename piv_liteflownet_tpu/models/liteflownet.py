@@ -336,6 +336,14 @@ def _batch_to_space(y, k: int, halo: int):
     )
 
 
+def _pallas_backend() -> bool:
+    """Mosaic (Pallas-TPU) kernels lower on TPU backends only — 'axon' is the
+    tunneled single-chip TPU this rig exposes. A GPU/CUDA backend must not
+    take these paths (it would fail to compile), so the gate is an allowlist,
+    not a CPU denylist (ADVICE r3)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _use_pallas_convs(cfg: ModelConfig, shape) -> bool:
     from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
 
@@ -343,7 +351,7 @@ def _use_pallas_convs(cfg: ModelConfig, shape) -> bool:
         cfg.conv_impl == "pallas"
         and get_spatial_ctx() is None
         and shape[1] >= 32 and shape[2] >= 32
-        and jax.default_backend() != "cpu"  # no Mosaic lowering on CPU
+        and _pallas_backend()
     )
 
 
@@ -424,7 +432,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
         """stride-1 cost volume through the configured implementation."""
         if (cfg.corr_impl == "planar" and get_spatial_ctx() is None
                 and a.shape[2] >= 128 and a.shape[1] >= 16
-                and jax.default_backend() != "cpu"):
+                and _pallas_backend()):
             from piv_liteflownet_tpu.ops.pallas_corr import correlation_planar_pallas
 
             return correlation_planar_pallas(_bar(a), _bar(b))
@@ -504,7 +512,7 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     use_tent = (
         cfg.warp_impl == "tent" and get_spatial_ctx() is None
         and f2.shape[2] >= 128 and f2.shape[1] >= 16
-        and jax.default_backend() != "cpu"
+        and _pallas_backend()
     )
     if "warpS" in cfg.ablate:
         f2w = f2
@@ -545,7 +553,7 @@ def _regularization(p, pfx, cfg, level, img1, img2, feat1, flow, precision):
         and "warpR" not in cfg.ablate
         and get_spatial_ctx() is None
         and img1.shape[1] >= 64 and img1.shape[2] >= 128
-        and jax.default_backend() != "cpu"  # no Mosaic lowering on CPU
+        and _pallas_backend()
     )
     if use_rgb_kernel:
         from piv_liteflownet_tpu.ops.pallas_rgb_warp import (

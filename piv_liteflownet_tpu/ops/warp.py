@@ -132,6 +132,19 @@ def gather_warp_banded(packed: jax.Array, h: int, w: int, flow: jax.Array,
     ws = flow.shape[2]
     k = len(starts)
 
+    # Same two-half sequential split as backwarp: the packed-tap transient is
+    # 4x the image, and halving its peak is what keeps batch >= 8 at large
+    # frames inside HBM (ADVICE r3; the gather is descriptor-bound, so the
+    # serialization is free).
+    if b >= 8 and b % 2 == 0 and h * w >= 512 * 512:
+        hs_ = flow.shape[1]
+        out = lax.map(
+            lambda pf: gather_warp_banded(pf[0], h, w, pf[1], starts, bh2, stride),
+            (packed.reshape(2, b // 2, *packed.shape[1:]),
+             flow.reshape(2, b // 2, hs_, ws, 2)),
+        )
+        return out.reshape(b * k, bh2, ws, c)
+
     starts_a = jnp.asarray(starts, jnp.int32)  # [k], output-grid row units
     # banded flow: [B, k, bh2, ws, 2] (2-channel copy — negligible traffic)
     row_idx = starts_a[:, None] + jnp.arange(bh2, dtype=jnp.int32)[None]  # [k, bh2]

@@ -53,6 +53,11 @@ def param_group_labels(params: Dict[str, jax.Array], lowest_level: int) -> Dict[
 
 def _torch_Adam(betas=(0.9, 0.999), eps=1e-8, amsgrad=False):
     if amsgrad:
+        if not hasattr(optax, "scale_by_amsgrad"):
+            raise ValueError(
+                "optimizer_amsgrad=True needs optax.scale_by_amsgrad, which "
+                "this optax version lacks; use amsgrad=False"
+            )
         return optax.scale_by_amsgrad(b1=betas[0], b2=betas[1], eps=eps), False
     return optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps), False
 
@@ -63,7 +68,10 @@ def _torch_AdamW(betas=(0.9, 0.999), eps=1e-8, amsgrad=False):
 
 
 def _torch_SGD(momentum=0.0, dampening=0.0, nesterov=False):
-    del dampening  # optax.trace has no dampening; torch default is 0.0
+    if dampening:
+        # optax.trace has no dampening; refuse rather than silently change
+        # the update rule (torch's default is 0.0).
+        raise ValueError("SGD dampening != 0 is not supported by the optax backend")
     return optax.trace(decay=momentum, nesterov=nesterov), False
 
 

@@ -24,17 +24,27 @@ def module_to_dict(module, exclude=()) -> Dict[str, type]:
     return out
 
 
-def _add_flag(parser, arg_name: str, default: Any) -> None:
+def _add_flag(parser, arg_name: str, default: Any, explicit: bool = True) -> None:
+    """Add one reflected flag.
+
+    ``explicit=False`` means ``default`` is only the *union* default across the
+    registry (used for type inference); the argparse default is then ``None``
+    so an unset flag is omitted from ``kwargs_from_args`` and each factory
+    applies its OWN signature default — e.g. ``Lion``'s betas (0.9, 0.99) must
+    not be overridden by ``Adam``'s first-seen (0.9, 0.999) (ADVICE r3).
+    """
+    argparse_default = default if explicit else None
     if isinstance(default, bool):
         parser.add_argument(arg_name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                            default=default)
+                            default=argparse_default)
     elif isinstance(default, (list, tuple)):
         elem_t = type(default[0]) if len(default) else float
-        parser.add_argument(arg_name, type=elem_t, nargs="+", default=list(default))
+        parser.add_argument(arg_name, type=elem_t, nargs="+",
+                            default=list(default) if explicit else None)
     elif default is None:
         parser.add_argument(arg_name, default=None)
     else:
-        parser.add_argument(arg_name, type=type(default), default=default)
+        parser.add_argument(arg_name, type=type(default), default=argparse_default)
 
 
 def add_arguments_for_module(
@@ -78,7 +88,11 @@ def add_arguments_for_module(
             if pname not in seen:
                 seen[pname] = default_val
     for pname, dval in seen.items():
-        _add_flag(parser, f"--{argument_for_class}_{pname}", dval)
+        # caller-supplied parameter_defaults are real group defaults; union
+        # (first-seen) factory defaults are type hints only — the selected
+        # factory resolves its own default when the flag is unset.
+        _add_flag(parser, f"--{argument_for_class}_{pname}", dval,
+                  explicit=pname in parameter_defaults)
 
     setattr(parser, f"_{argument_for_class}_registry", registry)
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Poll the TPU tunnel; when it answers, run the round-3b measurement battery.
+# Poll the TPU tunnel; when it answers, run the round-4 measurement battery.
 cd /root/repo
 while true; do
   if timeout -k 15 600 python -c "
@@ -13,4 +13,4 @@ print('TPU_OK', d, float(jnp.ones((8,8), jnp.bfloat16).sum()), flush=True)
   echo "$(date +%H:%M:%S) tpu still down"
   sleep 120
 done
-bash work/r3b_runner.sh
+bash work/r4_runner.sh
