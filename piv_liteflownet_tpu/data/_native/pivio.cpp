@@ -2,14 +2,25 @@
 //
 // The reference feeds its accelerator with torch DataLoader worker processes
 // (reference run.py:155, trainer.py:305-310). Here the host-side runtime is
-// native: C-speed Middlebury .flo codecs, PGM/PPM image decode, and a
-// pthread-pool batch loader that keeps a ring of decoded float32 NHWC batches
-// ahead of the device feed. Exposed through a minimal C ABI consumed via
-// ctypes (piv_liteflownet_tpu/data/native.py).
+// native: C-speed Middlebury .flo codecs, PGM/PPM/PNG/TIFF image decode, and
+// a pthread-pool batch loader that keeps a ring of decoded float32 NHWC
+// batches (inference pairs or training triplets with .flo targets) ahead of
+// the device feed. Exposed through a minimal C ABI consumed via ctypes
+// (piv_liteflownet_tpu/data/native.py).
 //
-// Build: g++ -O3 -march=native -shared -fPIC -pthread pivio.cpp -o libpivio.so
+// Decoders cover the formats real PIV datasets use (the reference reads them
+// via PIL, reference src/datasets.py:616-622): PNG color types 0/2/3/4/6 at
+// 8/16-bit (zlib inflate + the five scanline filters, no interlace) and
+// baseline TIFF (uncompressed or PackBits strips, gray/RGB, 8/16-bit — the
+// demo DNS_turbulence tifs are gray PackBits). Anything else falls back to
+// the Python PIL path.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -pthread pivio.cpp -lz -o libpivio.so
+
+#include <zlib.h>
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -99,12 +110,14 @@ bool decode_pnm(const uint8_t* buf, size_t n, Image& img) {
   img.c = (type == 6) ? 3 : 1;
   size_t npx = static_cast<size_t>(w) * h * img.c;
   img.data.resize(npx);
-  float inv = 1.0f / static_cast<float>(maxval);
+  // plain division, not reciprocal-multiply: bit-parity with the Python
+  // loaders' numpy `arr / maxval` matters (training-trajectory equivalence)
+  float fmax = static_cast<float>(maxval);
   if (type == 2) {  // ascii gray
     for (size_t i = 0; i < npx; i++) {
       long v = read_int();
       if (v < 0) return false;
-      img.data[i] = static_cast<float>(v) * inv;
+      img.data[i] = static_cast<float>(v) / fmax;
     }
     return true;
   }
@@ -113,10 +126,249 @@ bool decode_pnm(const uint8_t* buf, size_t n, Image& img) {
   if (n - pos < npx * bytes) return false;
   const uint8_t* p = buf + pos;
   if (bytes == 1) {
-    for (size_t i = 0; i < npx; i++) img.data[i] = p[i] * inv;
+    for (size_t i = 0; i < npx; i++) img.data[i] = p[i] / fmax;
   } else {  // big-endian 16-bit
     for (size_t i = 0; i < npx; i++)
-      img.data[i] = static_cast<float>((p[2 * i] << 8) | p[2 * i + 1]) * inv;
+      img.data[i] = static_cast<float>((p[2 * i] << 8) | p[2 * i + 1]) / fmax;
+  }
+  return true;
+}
+
+// ----------------------------------------------------------------------- PNG
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) | (uint32_t(p[2]) << 8) | p[3];
+}
+
+int paeth(int a, int b, int c) {
+  int p = a + b - c, pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+bool decode_png(const uint8_t* buf, size_t n, Image& img) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (n < 8 + 25 || memcmp(buf, sig, 8) != 0) return false;
+  size_t pos = 8;
+  uint32_t w = 0, h = 0;
+  int depth = 0, ctype = 0, interlace = 0;
+  std::vector<uint8_t> idat;
+  std::vector<uint8_t> plte;  // rgb triples
+  while (pos + 8 <= n) {
+    uint32_t len = be32(buf + pos);
+    if (pos + 12 + len > n) return false;
+    const uint8_t* type = buf + pos + 4;
+    const uint8_t* data = buf + pos + 8;
+    if (!memcmp(type, "IHDR", 4)) {
+      if (len < 13) return false;
+      w = be32(data);
+      h = be32(data + 4);
+      depth = data[8];
+      ctype = data[9];
+      interlace = data[12];
+    } else if (!memcmp(type, "PLTE", 4)) {
+      plte.assign(data, data + len);
+    } else if (!memcmp(type, "IDAT", 4)) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (!memcmp(type, "IEND", 4)) {
+      break;
+    }
+    pos += 12 + len;
+  }
+  if (w == 0 || h == 0 || interlace != 0 || idat.empty()) return false;
+  int nchan;
+  switch (ctype) {
+    case 0: nchan = 1; break;  // gray
+    case 2: nchan = 3; break;  // rgb
+    case 3: nchan = 1; break;  // palette
+    case 4: nchan = 2; break;  // gray+alpha
+    case 6: nchan = 4; break;  // rgba
+    default: return false;
+  }
+  if (depth != 8 && depth != 16) return false;
+  if (ctype == 3 && (depth != 8 || plte.empty())) return false;
+  size_t bpp = (size_t)nchan * depth / 8;                  // bytes per pixel
+  size_t bpl = (size_t)w * nchan * depth / 8;              // bytes per scanline
+  std::vector<uint8_t> raw((bpl + 1) * h);
+  uLongf raw_len = raw.size();
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+      raw_len != raw.size())
+    return false;
+  // unfilter in place into a contiguous pixel buffer
+  std::vector<uint8_t> px(bpl * h);
+  for (uint32_t y = 0; y < h; y++) {
+    int f = raw[y * (bpl + 1)];
+    const uint8_t* src = &raw[y * (bpl + 1) + 1];
+    uint8_t* dst = &px[y * bpl];
+    const uint8_t* up = y ? &px[(y - 1) * bpl] : nullptr;
+    for (size_t i = 0; i < bpl; i++) {
+      int a = i >= bpp ? dst[i - bpp] : 0;
+      int b = up ? up[i] : 0;
+      int c = (up && i >= bpp) ? up[i - bpp] : 0;
+      int v = src[i];
+      switch (f) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return false;
+      }
+      dst[i] = (uint8_t)v;
+    }
+  }
+  // to float, dropping alpha (PIL convert("RGB") semantics for PIV inputs)
+  img.w = (int)w;
+  img.h = (int)h;
+  img.c = (ctype == 2 || ctype == 3 || ctype == 6) ? 3 : 1;
+  img.data.resize((size_t)w * h * img.c);
+  size_t npx = (size_t)w * h;
+  if (ctype == 3) {
+    for (size_t i = 0; i < npx; i++) {
+      uint8_t idx = px[i];
+      if ((size_t)idx * 3 + 2 >= plte.size()) return false;
+      img.data[3 * i] = plte[3 * idx] / 255.0f;
+      img.data[3 * i + 1] = plte[3 * idx + 1] / 255.0f;
+      img.data[3 * i + 2] = plte[3 * idx + 2] / 255.0f;
+    }
+    return true;
+  }
+  float fmax = depth == 8 ? 255.0f : 65535.0f;  // divide: bit-parity with numpy
+  int keep = img.c == 3 ? 3 : 1;  // channels kept (alpha dropped)
+  for (size_t i = 0; i < npx; i++) {
+    for (int ch = 0; ch < keep; ch++) {
+      size_t si = (i * nchan + ch) * (depth / 8);
+      uint32_t v = depth == 8 ? px[si] : ((uint32_t(px[si]) << 8) | px[si + 1]);
+      img.data[i * keep + ch] = v / fmax;
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------- TIFF
+struct TiffReader {
+  const uint8_t* buf;
+  size_t n;
+  bool le;
+  uint16_t u16(size_t off) const {
+    if (off + 2 > n) return 0;
+    return le ? (buf[off] | (buf[off + 1] << 8)) : ((buf[off] << 8) | buf[off + 1]);
+  }
+  uint32_t u32(size_t off) const {
+    if (off + 4 > n) return 0;
+    return le ? (buf[off] | (buf[off + 1] << 8) | (buf[off + 2] << 16) |
+                 (uint32_t(buf[off + 3]) << 24))
+              : ((uint32_t(buf[off]) << 24) | (buf[off + 1] << 16) |
+                 (buf[off + 2] << 8) | buf[off + 3]);
+  }
+};
+
+bool packbits_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                     size_t want) {
+  size_t pos = 0;
+  while (out.size() < want && pos < n) {
+    int8_t c = (int8_t)src[pos++];
+    if (c >= 0) {
+      size_t cnt = (size_t)c + 1;
+      if (pos + cnt > n) return false;
+      out.insert(out.end(), src + pos, src + pos + cnt);
+      pos += cnt;
+    } else if (c != -128) {
+      if (pos >= n) return false;
+      out.insert(out.end(), (size_t)(1 - c), src[pos++]);
+    }
+  }
+  return out.size() >= want;
+}
+
+bool decode_tiff(const uint8_t* buf, size_t n, Image& img) {
+  if (n < 8) return false;
+  bool le;
+  if (buf[0] == 'I' && buf[1] == 'I') le = true;
+  else if (buf[0] == 'M' && buf[1] == 'M') le = false;
+  else return false;
+  TiffReader r{buf, n, le};
+  if (r.u16(2) != 42) return false;
+  size_t ifd = r.u32(4);
+  if (ifd + 2 > n) return false;
+  uint16_t nent = r.u16(ifd);
+  uint32_t w = 0, h = 0, comp = 1, photo = 1, spp = 1, rps = 0xFFFFFFFF;
+  uint32_t bits = 8;
+  std::vector<uint32_t> strip_off, strip_cnt;
+  static const size_t kTypeSize[] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+  for (uint16_t e = 0; e < nent; e++) {
+    size_t ent = ifd + 2 + (size_t)e * 12;
+    if (ent + 12 > n) return false;
+    uint16_t tag = r.u16(ent), type = r.u16(ent + 2);
+    uint32_t cnt = r.u32(ent + 4);
+    if (type == 0 || type > 12) continue;
+    size_t tsz = kTypeSize[type];
+    size_t voff = (tsz * cnt <= 4) ? ent + 8 : r.u32(ent + 8);
+    auto val = [&](uint32_t i) -> uint32_t {
+      size_t o = voff + (size_t)i * tsz;
+      if (type == 3) return r.u16(o);
+      if (type == 4) return r.u32(o);
+      if (type == 1) return o < n ? buf[o] : 0;
+      return 0;
+    };
+    switch (tag) {
+      case 256: w = val(0); break;
+      case 257: h = val(0); break;
+      case 258: bits = val(0); break;          // assume uniform across samples
+      case 259: comp = val(0); break;
+      case 262: photo = val(0); break;
+      case 273:
+        strip_off.resize(cnt);
+        for (uint32_t i = 0; i < cnt; i++) strip_off[i] = val(i);
+        break;
+      case 277: spp = val(0); break;
+      case 278: rps = val(0); break;
+      case 279:
+        strip_cnt.resize(cnt);
+        for (uint32_t i = 0; i < cnt; i++) strip_cnt[i] = val(i);
+        break;
+      default: break;
+    }
+  }
+  if (w == 0 || h == 0 || strip_off.empty() || strip_off.size() != strip_cnt.size())
+    return false;
+  if ((comp != 1 && comp != 32773) || (bits != 8 && bits != 16)) return false;
+  if (photo != 0 && photo != 1 && photo != 2) return false;
+  if (spp != 1 && spp != 3) return false;
+  if (rps == 0xFFFFFFFF || rps == 0) rps = h;
+  size_t bpr = (size_t)w * spp * (bits / 8);  // bytes per row
+  std::vector<uint8_t> px;
+  px.reserve(bpr * h);
+  for (size_t s = 0; s < strip_off.size(); s++) {
+    uint32_t rows = (uint32_t)std::min<size_t>(rps, h - s * rps);
+    size_t want = px.size() + bpr * rows;
+    if (strip_off[s] + (size_t)strip_cnt[s] > n) return false;
+    if (comp == 1) {
+      if (strip_cnt[s] < bpr * rows) return false;
+      px.insert(px.end(), buf + strip_off[s], buf + strip_off[s] + bpr * rows);
+    } else {
+      if (!packbits_decode(buf + strip_off[s], strip_cnt[s], px, want)) return false;
+      px.resize(want);
+    }
+  }
+  if (px.size() < bpr * h) return false;
+  img.w = (int)w;
+  img.h = (int)h;
+  img.c = spp == 3 ? 3 : 1;
+  size_t nval = (size_t)w * h * spp;
+  img.data.resize(nval);
+  float maxv = bits == 8 ? 255.0f : 65535.0f;
+  for (size_t i = 0; i < nval; i++) {
+    uint32_t v;
+    if (bits == 8) {
+      v = px[i];
+    } else {
+      // 16-bit samples carry the file's byte order
+      v = le ? (px[2 * i] | (px[2 * i + 1] << 8))
+             : ((px[2 * i] << 8) | px[2 * i + 1]);
+    }
+    float f = v / maxv;
+    img.data[i] = (photo == 0) ? 1.0f - f : f;  // WhiteIsZero inverts
   }
   return true;
 }
@@ -124,6 +376,11 @@ bool decode_pnm(const uint8_t* buf, size_t n, Image& img) {
 bool load_image(const char* path, Image& img) {
   std::vector<uint8_t> buf;
   if (!read_file(path, buf)) return false;
+  if (buf.size() >= 8 && buf[0] == 137 && buf[1] == 'P')
+    return decode_png(buf.data(), buf.size(), img);
+  if (buf.size() >= 4 && ((buf[0] == 'I' && buf[1] == 'I') ||
+                          (buf[0] == 'M' && buf[1] == 'M')))
+    return decode_tiff(buf.data(), buf.size(), img);
   return decode_pnm(buf.data(), buf.size(), img);
 }
 
@@ -132,12 +389,13 @@ struct Batch {
   long index = -1;
   std::vector<float> data;  // [B, H, W, 3] x2 frames concatenated on axis 0? no:
                             // layout: [2, B, H, W, 3] (frame-major)
+  std::vector<float> flow;  // [B, FH, FW, 2] (training triplets only)
   int valid = 0;
 };
 
 struct Loader {
-  std::vector<std::string> paths1, paths2;
-  int batch = 1, h = 0, w = 0, threads = 2;
+  std::vector<std::string> paths1, paths2, pathsF;  // pathsF empty = inference
+  int batch = 1, h = 0, w = 0, fh = 0, fw = 0, threads = 2;
   std::atomic<long> next_batch{0};
   long n_batches = 0;
 
@@ -161,11 +419,23 @@ struct Loader {
       b.valid = static_cast<int>(cnt);
       size_t frame = static_cast<size_t>(batch) * h * w * 3;
       b.data.assign(2 * frame, 0.0f);
+      if (!pathsF.empty()) b.flow.assign(static_cast<size_t>(batch) * fh * fw * 2, 0.0f);
       for (size_t k = 0; k < cnt; k++) {
         Image i1, i2;
         if (!load_image(paths1[start + k].c_str(), i1) ||
             !load_image(paths2[start + k].c_str(), i2))
           continue;
+        if (!pathsF.empty()) {
+          int rh = 0, rw = 0;
+          float* dst = &b.flow[k * static_cast<size_t>(fh) * fw * 2];
+          // exact-size read into the batch slot; mismatched flows stay zero
+          if (flo_read_impl(pathsF[start + k].c_str(), nullptr, 0, &rh, &rw, 2) != 0 ||
+              rh != fh || rw != fw ||
+              flo_read_impl(pathsF[start + k].c_str(), dst,
+                            static_cast<int>(static_cast<size_t>(fh) * fw * 2),
+                            &rh, &rw, 2) != 0)
+            continue;
+        }
         auto put = [&](const Image& im, size_t off) {
           int hh = std::min(im.h, h), ww = std::min(im.w, w);
           for (int y = 0; y < hh; y++)
@@ -267,6 +537,23 @@ void* pivio_loader_create(const char** paths1, const char** paths2, long n,
   return L;
 }
 
+// Training-triplet loader: every sample additionally reads a Middlebury .flo
+// target of exactly (fh, fw). The native replacement for the reference's
+// PIVData DataLoader workers (reference trainer.py:305-310).
+void* pivio_loader_create_flow(const char** paths1, const char** paths2,
+                               const char** pathsF, long n, int batch, int h,
+                               int w, int fh, int fw, int threads) {
+  auto* L = static_cast<Loader*>(
+      pivio_loader_create(paths1, paths2, n, batch, h, w, 0));
+  L->pathsF.assign(pathsF, pathsF + n);
+  L->fh = fh;
+  L->fw = fw;
+  L->threads = threads;
+  for (int t = 0; t < threads; t++)
+    L->workers.emplace_back([L] { L->worker(); });
+  return L;
+}
+
 long pivio_loader_batches(void* handle) {
   return static_cast<Loader*>(handle)->n_batches;
 }
@@ -288,6 +575,22 @@ int pivio_loader_next(void* handle, float* out) {
   L->cv_space.notify_all();
   lk.unlock();
   memcpy(out, b.data.data(), b.data.size() * 4);
+  return b.valid;
+}
+
+// Like pivio_loader_next, but also copies the batch's [B, FH, FW, 2] flow
+// targets. Only valid for handles from pivio_loader_create_flow.
+int pivio_loader_next_flow(void* handle, float* out, float* out_flow) {
+  auto* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_ready.wait(lk, [&] { return !L->ready.empty() || L->stop.load(); });
+  if (L->stop.load() && L->ready.empty()) return -1;
+  Batch b = std::move(L->ready.front());
+  L->ready.pop();
+  L->cv_space.notify_all();
+  lk.unlock();
+  memcpy(out, b.data.data(), b.data.size() * 4);
+  memcpy(out_flow, b.flow.data(), b.flow.size() * 4);
   return b.valid;
 }
 

@@ -17,11 +17,17 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
+#: formats the C++ decoders handle (PNG 8/16-bit ct 0/2/3/4/6 non-interlaced,
+#: baseline TIFF none/packbits, PNM) — anything else uses the PIL threads.
+NATIVE_EXTS = {"pgm", "ppm", "png", "tif", "tiff"}
+
+
 def native_loader_for(dataset, batch_size: int, num_workers: int = 4):
     """Build a ``data.native.NativeBatchLoader`` over an inference ``Run``
-    dataset when the native fast path applies (all pair files are PGM/PPM of
-    one size — the formats the C++ decoder handles; PNG/TIFF datasets use the
-    Python loader's PIL threads). Returns None when inapplicable."""
+    dataset when the native fast path applies (all pair files in
+    ``NATIVE_EXTS`` and the first pair probe-decodes — PNG/TIFF variants the
+    minimal decoders reject fall back to the Python loader's PIL threads).
+    Returns None when inapplicable."""
     try:
         from piv_liteflownet_tpu.data.native import NativeBatchLoader, get_lib, image_read
     except Exception:  # pragma: no cover
@@ -32,11 +38,11 @@ def native_loader_for(dataset, batch_size: int, num_workers: int = 4):
     if not pairs:
         return None
     exts = {p.rsplit(".", 1)[-1].lower() for pair in pairs for p in pair}
-    if not exts <= {"pgm", "ppm"}:
+    if not exts <= NATIVE_EXTS:
         return None
     try:
         probe = image_read(pairs[0][0])
-    except Exception:  # pragma: no cover
+    except Exception:
         return None
     h, w = probe.shape[0], probe.shape[1]
     # oversubscription on small hosts collapses throughput (measured: 8
@@ -45,6 +51,43 @@ def native_loader_for(dataset, batch_size: int, num_workers: int = 4):
 
     threads = max(2, min(num_workers, 4 * (_os.cpu_count() or 1)))
     return NativeBatchLoader(pairs, batch_size, h, w, threads=threads)
+
+
+def native_train_loader_for(dataset, batch_size: int, num_workers: int = 4,
+                            shuffle: bool = True, seed: int = 0,
+                            drop_last: bool = True):
+    """Native training ingest over a file-triplet dataset (PIVData-style
+    ``.samples`` of (img1, img2, flo) paths): C++ image + .flo decode on a
+    pthread pool, replacing the Python ``BatchLoader``'s per-sample PIL path
+    in the trainer (reference analog: ``DataLoader(num_workers=8,
+    pin_memory=True)``, reference ``trainer.py:305-310``). Returns None when
+    the dataset has no path triplets or a format the minimal decoders
+    reject."""
+    try:
+        from piv_liteflownet_tpu.data.native import (NativeTrainLoader, flo_read,
+                                                     get_lib, image_read)
+    except Exception:  # pragma: no cover
+        return None
+    if get_lib() is None:
+        return None
+    samples = getattr(dataset, "samples", None)
+    if not samples or len(samples[0]) != 3:
+        return None
+    exts = {p.rsplit(".", 1)[-1].lower() for s in samples for p in s[:2]}
+    if not exts <= NATIVE_EXTS:
+        return None
+    try:
+        probe = image_read(samples[0][0])
+        fprobe = flo_read(samples[0][2])
+    except Exception:
+        return None
+    import os as _os
+
+    threads = max(2, min(num_workers, 4 * (_os.cpu_count() or 1)))
+    return NativeTrainLoader(
+        samples, batch_size, probe.shape[0], probe.shape[1],
+        fprobe.shape[0], fprobe.shape[1], threads=threads,
+        shuffle=shuffle, seed=seed, drop_last=drop_last)
 
 
 def _collate(samples):

@@ -36,7 +36,7 @@ def build_library(force: bool = False) -> Optional[str]:
             return _LIB_PATH
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-            _SRC, "-o", _LIB_PATH,
+            _SRC, "-lz", "-o", _LIB_PATH,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -73,6 +73,17 @@ def get_lib():
     lib.pivio_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pivio_loader_create_flow.restype = ctypes.c_void_p
+    lib.pivio_loader_create_flow.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pivio_loader_next_flow.restype = ctypes.c_int
+    lib.pivio_loader_next_flow.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
     ]
     lib.pivio_loader_batches.restype = ctypes.c_long
     lib.pivio_loader_batches.argtypes = [ctypes.c_void_p]
@@ -135,8 +146,72 @@ def image_read(path: str) -> np.ndarray:
     return out
 
 
+class NativeTrainLoader:
+    """Threaded native triplet loader: (img1, img2, .flo target) batches.
+
+    Feeds the trainer's BatchLoader position over file-triplet datasets
+    (PIVData-style ``.samples``): images decoded by the C++ PNG/TIFF/PNM
+    decoders, flows by the native .flo codec, batches assembled by the
+    pthread pool. Yields ``((im1 [B,H,W,3], im2 [B,H,W,3]), flow [B,H,W,2])``
+    like the Python ``BatchLoader`` over a training dataset.
+
+    Shuffle order is drawn per-epoch from ``seed + epoch`` (the
+    ``set_epoch`` resume contract); the underlying C loader is recreated
+    per epoch with the permuted path lists — creation is microseconds next
+    to an epoch of decoding.
+    """
+
+    def __init__(self, triplets: Sequence[Tuple[str, str, str]], batch_size: int,
+                 height: int, width: int, fh: int, fw: int, threads: int = 4,
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = False):
+        if get_lib() is None:
+            raise RuntimeError("libpivio unavailable")
+        self.triplets = list(triplets)
+        self.batch = batch_size
+        self.h, self.w, self.fh, self.fw = height, width, fh, fw
+        self.threads = threads
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.triplets)
+        return n // self.batch if self.drop_last else -(-n // self.batch)
+
+    def __iter__(self):
+        lib = get_lib()
+        order = np.arange(len(self.triplets))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        if self.drop_last:
+            order = order[: len(order) // self.batch * self.batch]
+        trips = [self.triplets[i] for i in order]
+        n = len(trips)
+        p1 = (ctypes.c_char_p * n)(*[t[0].encode() for t in trips])
+        p2 = (ctypes.c_char_p * n)(*[t[1].encode() for t in trips])
+        pf = (ctypes.c_char_p * n)(*[t[2].encode() for t in trips])
+        handle = lib.pivio_loader_create_flow(
+            p1, p2, pf, n, self.batch, self.h, self.w, self.fh, self.fw,
+            self.threads)
+        try:
+            imgs = np.empty((2, self.batch, self.h, self.w, 3), np.float32)
+            flow = np.empty((self.batch, self.fh, self.fw, 2), np.float32)
+            for _ in range(lib.pivio_loader_batches(handle)):
+                valid = lib.pivio_loader_next_flow(handle, _fptr(imgs), _fptr(flow))
+                if valid < 0:
+                    break
+                yield (imgs[0, :valid].copy(), imgs[1, :valid].copy()), flow[:valid].copy()
+        finally:
+            lib.pivio_loader_destroy(handle)
+
+
 class NativeBatchLoader:
-    """Threaded native pair loader over PGM/PPM files.
+    """Threaded native pair loader over PGM/PPM/PNG/TIFF files.
 
     Yields ``((im1 [B,H,W,3], im2 [B,H,W,3]), names)`` like the Python
     ``BatchLoader`` (short final batches are trimmed).

@@ -83,8 +83,61 @@ def test_native_batch_loader(tmp_path):
     np.testing.assert_allclose(batches[2][0][0][0], ref3, atol=1e-6)
 
 
+def test_png_decode_vs_pil(tmp_path):
+    """PNG color types 0/2/3/4/6 at 8-bit + 16-bit gray match PIL exactly."""
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    arr = (rng.random((21, 33, 3)) * 255).astype(np.uint8)
+    cases = {
+        "rgb.png": Image.fromarray(arr),
+        "gray.png": Image.fromarray(arr[..., 0]),
+        "rgba.png": Image.fromarray(np.dstack([arr, arr[..., :1]])),
+        "pal.png": Image.fromarray(arr).convert("P"),
+        "la.png": Image.fromarray(arr[..., 0]).convert("LA"),
+        "gray16.png": Image.fromarray((rng.random((21, 33)) * 65535).astype(np.uint16)),
+    }
+    for name, im in cases.items():
+        p = str(tmp_path / name)
+        im.save(p)
+        got = native.image_read(p)
+        if name == "gray16.png":
+            ref = np.asarray(Image.open(p), np.float32) / 65535.0
+            ref = np.repeat(ref[..., None], 3, -1)
+        else:
+            ref = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=name)
+
+
+def test_tiff_decode_vs_pil(tmp_path):
+    """Baseline TIFF (uncompressed + packbits, gray/RGB) matches PIL; the
+    reference demo tifs are gray packbits (reference images/demo/)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    arr = (rng.random((19, 27, 3)) * 255).astype(np.uint8)
+    cases = [
+        ("gray.tif", Image.fromarray(arr[..., 0]), {}),
+        ("rgb.tif", Image.fromarray(arr), {}),
+        ("gray_pb.tif", Image.fromarray(arr[..., 0]), {"compression": "packbits"}),
+        ("rgb_pb.tif", Image.fromarray(arr), {"compression": "packbits"}),
+    ]
+    for name, im, kw in cases:
+        p = str(tmp_path / name)
+        im.save(p, **kw)
+        got = native.image_read(p)
+        ref = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=name)
+    demo = "/root/reference/images/demo/DNS_turbulence_img1.tif"
+    if os.path.isfile(demo):
+        got = native.image_read(demo)
+        ref = np.asarray(Image.open(demo).convert("RGB"), np.float32) / 255.0
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 def test_native_loader_for_gating(tmp_path):
-    """native_loader_for: native path for PGM/PPM Run datasets, None for PNG."""
+    """native_loader_for: native path for PNM *and* PNG/TIFF Run datasets;
+    None for variants the minimal decoders reject (probe fallback)."""
     from PIL import Image
 
     from piv_liteflownet_tpu.data.datasets import Run
@@ -107,7 +160,61 @@ def test_native_loader_for_gating(tmp_path):
     for tag in ("img1", "img2"):
         Image.fromarray((rng.random((16, 24, 3)) * 255).astype(np.uint8)).save(
             str(png_dir / f"s0_{tag}.png"))
-    assert native_loader_for(Run(root=str(png_dir), is_pair=True), 2) is None
+    png_loader = native_loader_for(Run(root=str(png_dir), is_pair=True), 2)
+    assert png_loader is not None
+    (im1, _), _ = next(iter(png_loader))
+    png_loader.close()
+    ref = np.asarray(Image.open(str(png_dir / "s0_img1.png")).convert("RGB"),
+                     np.float32) / 255.0
+    np.testing.assert_allclose(im1[0], ref, atol=1e-6)
+
+    # 1-bit PNG: the minimal decoder rejects depth<8 -> probe fails -> None
+    bw_dir = tmp_path / "bw"
+    bw_dir.mkdir()
+    for tag in ("img1", "img2"):
+        Image.fromarray(rng.random((16, 24)) > 0.5).save(str(bw_dir / f"s0_{tag}.png"))
+    assert native_loader_for(Run(root=str(bw_dir), is_pair=True), 2) is None
+
+
+def test_native_train_loader(tmp_path):
+    """NativeTrainLoader: triplet batches match PIL + python .flo readers;
+    shuffle order is set_epoch-deterministic."""
+    from PIL import Image
+
+    from piv_liteflownet_tpu.data.loader import native_train_loader_for
+    from piv_liteflownet_tpu.utils.flow_io import read_flow
+
+    rng = np.random.default_rng(8)
+    trips = []
+    for i in range(5):
+        p1 = str(tmp_path / f"s{i}_img1.png")
+        p2 = str(tmp_path / f"s{i}_img2.png")
+        pf = str(tmp_path / f"s{i}_flow.flo")
+        Image.fromarray((rng.random((16, 24)) * 255).astype(np.uint8)).save(p1)
+        Image.fromarray((rng.random((16, 24)) * 255).astype(np.uint8)).save(p2)
+        write_flow(rng.standard_normal((16, 24, 2)).astype(np.float32), pf)
+        trips.append((p1, p2, pf))
+
+    class DS:
+        samples = trips
+
+    loader = native_train_loader_for(DS(), batch_size=2, shuffle=False, drop_last=False)
+    assert loader is not None
+    batches = list(loader)
+    assert len(batches) == 3 and batches[-1][0][0].shape[0] == 1
+    (im1, im2), fl = batches[0]
+    ref1 = np.asarray(Image.open(trips[0][0]).convert("RGB"), np.float32) / 255.0
+    np.testing.assert_allclose(im1[0], ref1, atol=1e-6)
+    np.testing.assert_array_equal(fl[1], read_flow(trips[1][2]))
+
+    shuf = native_train_loader_for(DS(), batch_size=2, shuffle=True, seed=1,
+                                   drop_last=True)
+    assert len(shuf) == 2
+    shuf.set_epoch(3)
+    a = [f.sum() for _, f in shuf]
+    shuf.set_epoch(3)
+    b = [f.sum() for _, f in shuf]
+    assert a == b
 
 
 def test_run_cli_native_io(tmp_path):

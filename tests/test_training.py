@@ -217,6 +217,58 @@ def test_trainer_cli_resume_equivalence(tmp_path):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=0, atol=1e-6)
 
 
+def test_trainer_cli_native_io_equivalence(tmp_path):
+    """trainer --native_io (C++ PNG + .flo ingest, libpivio) trains the same
+    trajectory as the Python PIL loader: same shuffle formula (seed+epoch
+    permutation), same [0,1] float decode (within float32 rounding)."""
+    import importlib.util
+
+    from piv_liteflownet_tpu.data import native
+
+    if native.build_library() is None:
+        import pytest
+
+        pytest.skip("g++ build unavailable")
+
+    spec = importlib.util.spec_from_file_location("repo_trainer", "/root/repo/trainer.py")
+    trainer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trainer)
+
+    data = str(tmp_path / "data")
+    _write_piv_dataset(data)
+
+    def run(save, native_io):
+        argv = [
+            "--total_epochs", "1", "--batch_size", "2",
+            "--crop_size", "64", "64", "--number_workers", "2",
+            "--number_devices", "1", "--backup_frequency", "1",
+            "--save", save, "--seed", "7",
+            "--training_dataset_root", data,
+            "--validation_dataset_root", str(tmp_path / "noval"),
+            "--logger_workdir", str(tmp_path / "exp"),
+        ] + (["--native_io"] if native_io else [])
+        trainer.main(argv)
+
+    run(str(tmp_path / "py"), False)
+    run(str(tmp_path / "nat"), True)
+
+    from piv_liteflownet_tpu.models.liteflownet import ModelConfig, init_params
+    from piv_liteflownet_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = ModelConfig(version=1, starting_scale=10.0, lowest_level=1)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    tx, _ = make_optimizer(params, cfg.lowest_level)
+    abstract = {"params": params, "opt_state": tx.init(params),
+                "epoch": np.asarray(0), "best_epe": np.asarray(0.0),
+                "step": np.asarray(0)}
+    a = restore_checkpoint(os.path.join(str(tmp_path / "py"), "backup_1"), abstract)
+    b = restore_checkpoint(os.path.join(str(tmp_path / "nat"), "backup_1"), abstract)
+    assert int(a["step"]) == int(b["step"]) > 0
+    for k in a["params"]:
+        np.testing.assert_allclose(np.asarray(a["params"][k]), np.asarray(b["params"][k]),
+                                   rtol=0, atol=1e-5, err_msg=k)
+
+
 def test_v2_train_step_with_six_weight_loss():
     """The reference's v2 training path is latently broken (5-weight
     piv_loss vs 6 pyramid outputs incl. the full-res upsample, reference

@@ -38,6 +38,10 @@ def build_parser():
     parser.add_argument("--weight_decay", "-wd", type=float, default=4e-4)
     parser.add_argument("--bias_decay", "-bd", type=float, default=0.0)
     parser.add_argument("--number_workers", "-nw", "--num_workers", type=int, default=8)
+    parser.add_argument("--native_io", action="store_true",
+                        help="use the C++ batch loader (libpivio) for training "
+                             "ingest when the dataset is file-triplet based "
+                             "(PIVData with PNG/TIFF/PNM frames)")
     parser.add_argument("--number_devices", "-nd", type=int, default=-1,
                         help="number of accelerator devices to use (-1 = all)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -290,9 +294,21 @@ def main(argv=None):
 
     with TimerBlock("Initializing datasets") as block:
         train_ds = cfgutil.instance_from_args(parser, args, "training_dataset")
-        loaders = {"train": BatchLoader(train_ds, batch_size=args.batch_size,
-                                        num_workers=args.number_workers, shuffle=True,
-                                        seed=args.seed, drop_last=True)}
+        train_loader = None
+        if args.native_io:
+            from piv_liteflownet_tpu.data.loader import native_train_loader_for
+
+            train_loader = native_train_loader_for(
+                train_ds, batch_size=args.batch_size,
+                num_workers=args.number_workers, shuffle=True,
+                seed=args.seed, drop_last=True)
+            block.log("native ingest: " + ("libpivio" if train_loader else
+                                           "inapplicable, Python loader"))
+        if train_loader is None:
+            train_loader = BatchLoader(train_ds, batch_size=args.batch_size,
+                                       num_workers=args.number_workers, shuffle=True,
+                                       seed=args.seed, drop_last=True)
+        loaders = {"train": train_loader}
         try:
             val_ds = cfgutil.instance_from_args(parser, args, "validation_dataset")
             loaders["val"] = BatchLoader(val_ds, batch_size=args.batch_size,
