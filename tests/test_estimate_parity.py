@@ -15,7 +15,7 @@ import pytest
 import torch
 
 from piv_liteflownet_tpu.inference import estimate
-from piv_liteflownet_tpu.models.convert import from_torch_state_dict
+from piv_liteflownet_tpu.models.convert import from_torch_state_dict, to_torch_state_dict
 from piv_liteflownet_tpu.models.factory import piv_liteflownet
 from piv_liteflownet_tpu.utils.flow_io import read_flow, write_flow
 
@@ -116,3 +116,48 @@ def test_estimate_flo_roundtrip(ref_setup, tmp_path):
     assert len(ours) == len(golden) == 4 * 3 + 256 * 256 * 2 * 4
     assert ours[:4] == golden[:4]  # TAG_FLOAT
     assert ours[4:12] == golden[4:12]  # width, height int32
+
+
+def test_estimate_parity_trained_weights(ref_setup, tmp_path):
+    """E2E parity at a TRAINED operating point, through the torch reference.
+
+    The round-3 from-scratch weights (work/synth_run/params_final.npz, val EPE
+    0.29 px) are reverse-converted to a ``.paramOnly`` torch state dict
+    (inverse of the reference weight-layout contract, reference
+    ``convert.py:23-43``), loaded into the reference's own model with strict
+    ``load_state_dict``, and both estimate() chains must agree to 1e-3/px on
+    the demo pair — upgrading the random-weight parity gate to a trained
+    model, the closest achievable stand-in for the reference's missing
+    pretrained blobs (reference ``.MISSING_LARGE_BLOBS:1-2``).
+    """
+    import sys
+
+    from piv_liteflownet_tpu.utils.checkpoint import load_params_npz
+
+    npz = "/root/repo/work/synth_run/params_final.npz"
+    if not os.path.isfile(npz):
+        pytest.skip("round-3 trained weights not present")
+    ref_inference, _, _ = ref_setup
+    ref_models = sys.modules["src.models"]
+
+    cfg = piv_liteflownet(version=1).cfg
+    params = load_params_npz(npz)
+    sd = to_torch_state_dict(cfg, params)
+    torch_sd = {k: torch.from_numpy(v) for k, v in sd.items()}
+    # the .paramOnly contract: torch.save'able pure state dict
+    pth = str(tmp_path / "trained.paramOnly")
+    torch.save(torch_sd, pth)
+    ref_net = ref_models.piv_liteflownet(None, version=1)
+    missing, unexpected = ref_net.load_state_dict(
+        torch.load(pth, map_location="cpu", weights_only=True), strict=True), None
+    ref_net.eval()
+
+    model = piv_liteflownet(params, version=1)
+    im1, im2 = _load_demo()
+    ref_flow = _ref_estimate(ref_inference, ref_net, im1, im2)
+    got_flow = estimate(model, im1, im2)
+    epe = np.sqrt(((got_flow - ref_flow) ** 2).sum(-1))
+    # trained flows are O(1) px on the demo turbulence field; check they are
+    # non-degenerate as well as matching
+    assert np.abs(ref_flow).max() > 0.05, "trained model output degenerate"
+    assert epe.max() <= 1e-3, f"max EPE {epe.max():.2e} vs reference estimate()"
