@@ -89,15 +89,17 @@ class ModelConfig:
     # b2 @1024^2) — opt-in until the banding is fused into producers.
     conv_bands: bool = False
     # NetE-R occlusion-norm path ("auto" | "gather" | "pallas"):
-    #  - "auto" (DEFAULT): fused planar Pallas warp+norm kernel
-    #    (ops/pallas_rgb_warp.py) guarded by the on-device tent-bound check
-    #    with exact gather fallback — exactness guaranteed. The warped rgb
-    #    never touches HBM. Measured r3: kernel 1.27 vs gather 10.2 ms/pair
-    #    standalone @1024^2; in-model v1 b2 144.2 -> 132.0 ms/pair (the
-    #    demo turbulence field passes the r=3 guard). Falls back to
-    #    "gather" automatically on CPU backends (no Mosaic lowering).
+    #  - "auto" (DEFAULT): TIERED fused planar Pallas warp+norm kernel
+    #    (ops/pallas_rgb_warp.py): the narrowest tent whose exactness bounds
+    #    hold on the actual flow runs — tier 1 (r=4, lim=8) covers benign
+    #    flows, tier 2 (r=11, lim=13) the steep trained-model regime
+    #    (work/guard_resid.log), exact gather beyond that — so exactness is
+    #    guaranteed at every tier. The warped rgb never touches HBM.
+    #    Measured r3 (single tier r=3): kernel 1.27 vs gather 10.2 ms/pair
+    #    standalone @1024^2; in-model v1 b2 144.2 -> 132.0 ms/pair. Falls
+    #    back to "gather" automatically on CPU backends (no Mosaic lowering).
     #  - "gather": norm = sqrt(sum_c (img1 - packed-gather-warp(img2))^2).
-    #  - "pallas": the kernel unguarded (clamps out-of-window flow).
+    #  - "pallas": the tier-1 kernel unguarded (clamps out-of-window flow).
     rgb_norm: str = "auto"
     # NetE conv-stack implementation ("xla" | "pallas"):
     #  - "xla" (DEFAULT): lax.conv_general_dilated per conv (differentiable;

@@ -221,18 +221,33 @@ def rgb_warp_norm_gather(img1: jax.Array, img2: jax.Array,
     return jnp.sqrt(jnp.sum(jnp.square(d), axis=-1, keepdims=True))
 
 
+#: (r, lim) tent tiers for the guarded path, narrow->wide. Chosen from the
+#: measured per-level bounds of the TRAINED v1 model on synthetic PIV fields
+#: (work/guard_resid.log, r4): benign flows (vortex s3 / shear 4 / sine 2.5)
+#: reach |u| 5.0 and tile residual 3.2 at L1 -> tier 1 (r=4, lim=8) covers
+#: them; steep flows (|u| to 12, residual to 10.1) need tier 2 (r=11, lim=13).
+#: Tap count scales as (2r+9)(2lim+2), so tier 2 is ~2.8x tier 1 — still well
+#: under the 10.2 ms/pair gather it replaces at 1024^2.
+RGB_NORM_TIERS = ((4, 8), (11, 13))
+
+
 def rgb_warp_norm(img1: jax.Array, img2: jax.Array, flow: jax.Array,
-                  r: int = 3, lim: int = 8, tile_h: int = 16) -> jax.Array:
+                  tiers=RGB_NORM_TIERS, tile_h: int = 16,
+                  interpret: bool = False) -> jax.Array:
     """Exact occlusion norm ``sqrt(sum_c (img1 - backwarp(img2, flow))^2)``:
-    fused planar kernel when the tent bounds hold (checked ON DEVICE),
-    packed-gather fallback otherwise."""
-    ok = rgb_norm_bounds_ok(flow, r, lim, tile_h)
-    return lax.cond(
-        ok,
-        lambda a, b_, f: rgb_warp_norm_pallas(a, b_, f, r, lim, tile_h),
-        lambda a, b_, f: rgb_warp_norm_gather(a, b_, f),
-        img1, img2, flow,
-    )
+    the narrowest tent kernel whose exactness bounds hold on the actual flow
+    (checked ON DEVICE), packed-gather fallback when none do."""
+    idx = jnp.int32(len(tiers))  # default: gather fallback
+    for i in range(len(tiers) - 1, -1, -1):
+        r, lim = tiers[i]
+        idx = jnp.where(rgb_norm_bounds_ok(flow, r, lim, tile_h), jnp.int32(i), idx)
+    branches = [
+        (lambda a, b_, f, rl=rl: rgb_warp_norm_pallas(
+            a, b_, f, rl[0], rl[1], tile_h, interpret))
+        for rl in tiers
+    ]
+    branches.append(lambda a, b_, f: rgb_warp_norm_gather(a, b_, f))
+    return lax.switch(idx, branches, img1, img2, flow)
 
 
 def _zero_tangent(fn):

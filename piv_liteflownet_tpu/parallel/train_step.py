@@ -44,6 +44,7 @@ def make_train_step(
     precision=None,
     remat: bool = False,
     compute_dtype=None,
+    donate_inputs: bool = False,
 ) -> Callable:
     """Build ``step(state, img1, img2, target, key) -> (state, metrics)``.
 
@@ -94,8 +95,14 @@ def make_train_step(
         metrics = {"loss": lossvalue, "epe": epevalue}
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    # ``donate_inputs`` additionally donates the image/target buffers: the
+    # trainer's prefetch pipeline device_puts each batch exactly once, so
+    # their HBM (3x [B,H,W,3] + [B,H,W,2]) is free for step intermediates.
+    # Off by default — callers that replay a batch (tests, microbenches)
+    # would hit donated-buffer errors.
+    donate = (0, 1, 2, 3) if donate_inputs else (0,)
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate)
 
     axis = mesh.axis_names[0]
     repl = NamedSharding(mesh, P())
@@ -104,7 +111,7 @@ def make_train_step(
         step,
         in_shardings=(repl, batched, batched, batched, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=donate,
     )
 
 

@@ -82,6 +82,49 @@ def test_guard_rejects_large_u():
     assert not bool(rgb_norm_bounds_ok(flow, r=2, lim=8))
 
 
+def test_wide_tier_matches_gather():
+    """Tier-2 tent (r=11, lim=13) stays exact on steep flows that blow the
+    tier-1 bounds — |u| to 12, high-frequency v (the trained-model regime
+    measured in work/guard_resid.log)."""
+    rng = np.random.default_rng(9)
+    b, h, w = 2, 64, 256
+    img1 = jnp.asarray(rng.random((b, h, w, 3), dtype=np.float32))
+    img2 = jnp.asarray(rng.random((b, h, w, 3), dtype=np.float32))
+    xs = np.arange(w, dtype=np.float32)
+    u = 11.0 * np.sin(2 * np.pi * 6 * xs / w)[None, None, :] * np.ones((b, h, 1), np.float32)
+    v = 7.0 * np.cos(2 * np.pi * 8 * xs / w)[None, None, :] * np.ones((b, h, 1), np.float32)
+    flow = jnp.asarray(np.stack([u, v], axis=-1))
+    assert not bool(rgb_norm_bounds_ok(flow, r=4, lim=8))    # tier 1 rejects
+    assert bool(rgb_norm_bounds_ok(flow, r=11, lim=13))      # tier 2 accepts
+    got = rgb_warp_norm_pallas(img1, img2, flow, r=11, lim=13, interpret=True)
+    ref = rgb_warp_norm_gather(img1, img2, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_tiered_entry_exact_across_tiers():
+    """rgb_warp_norm picks a tent tier (or the gather) per call; every branch
+    must agree with the exact gather. Interpret mode exercises the switch on
+    CPU."""
+    rng = np.random.default_rng(10)
+    b, h, w = 1, 64, 128
+    img1 = jnp.asarray(rng.random((b, h, w, 3), dtype=np.float32))
+    img2 = jnp.asarray(rng.random((b, h, w, 3), dtype=np.float32))
+    xs = np.arange(w, dtype=np.float32)[None, None, :] * np.ones((b, h, 1), np.float32)
+    cases = {
+        "tier1": np.stack([3.0 * np.sin(2 * np.pi * xs / w),
+                           2.0 * np.cos(2 * np.pi * xs / w)], axis=-1),
+        "tier2": np.stack([12.0 * np.sin(2 * np.pi * 4 * xs / w),
+                           8.0 * np.cos(2 * np.pi * 6 * xs / w)], axis=-1),
+        "gather": np.stack([30.0 + 0 * xs, 0 * xs], axis=-1),
+    }
+    for name, f in cases.items():
+        flow = jnp.asarray(f.astype(np.float32))
+        got = rgb_warp_norm(img1, img2, flow, interpret=True)
+        ref = rgb_warp_norm_gather(img1, img2, flow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, err_msg=name)
+
+
 @pytest.mark.tpu
 @requires_tpu
 def test_guarded_entry_falls_back():

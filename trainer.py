@@ -42,6 +42,10 @@ def build_parser():
                         help="use the C++ batch loader (libpivio) for training "
                              "ingest when the dataset is file-triplet based "
                              "(PIVData with PNG/TIFF/PNM frames)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 compute with f32 master params/loss/optimizer "
+                             "(measured +26%% step rate; loss curves match f32 "
+                             "to 4 decimals — BASELINE.md round 3)")
     parser.add_argument("--number_devices", "-nd", type=int, default=-1,
                         help="number of accelerator devices to use (-1 = all)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -328,7 +332,11 @@ def main(argv=None):
                                     **opt_kwargs)
         loss_obj = cfgutil.instance_from_args(parser, args, "loss")
         pipeline = get_transform(crop_size=tuple(args.crop_size), mode="train")
-        train_step = make_train_step(cfg, loss_obj, tx, mesh=mesh, pipeline=pipeline)
+        train_step = make_train_step(
+            cfg, loss_obj, tx, mesh=mesh, pipeline=pipeline,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            # each prefetched batch is consumed exactly once -> donate its HBM
+            donate_inputs=True)
         eval_step = make_eval_step(cfg, loss_obj, mesh=mesh)
         state = jax.device_put(
             TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), replicated(mesh))

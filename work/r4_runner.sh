@@ -14,6 +14,7 @@ python -u work/prof_impls.py 1 4                   2>&1 | tail -8
 python -u work/prof_impls.py 2 4                   2>&1 | tail -8
 python -u work/prof_v2.py 2 4                      2>&1 | tail -16
 python -u work/prof_xla_flags.py 1 4               2>&1 | tail -8
+python -u work/prof_guard_tpu.py 4 1024            2>&1 | tail -10
 PIV_TPU_TESTS=1 python -m pytest tests -m tpu -q   2>&1 | tail -4
 python -u bench.py 2>&1 | tee work/bench_r4_early.txt | tail -3
 date
