@@ -204,18 +204,31 @@ def feat_warp_bounds_ok(flow: jax.Array, ry: int = 3, rx: int = 3,
     return (resid(v, vlim) <= float(ry)) & (resid(u, 126 - rx - 1) <= float(rx))
 
 
-def feat_warp(img: jax.Array, flow: jax.Array, ry: int = 3, rx: int = 3,
+#: (ry, rx) tent tiers, narrow->wide. Same trained-model residual study as
+#: the rgb-norm tiers (work/guard_resid.log): benign flows reach per-tile
+#: residual 3.2 at L1 -> (4, 4) covers them; steep flows reach ~10 -> (11, 11).
+#: The tent here is (2r+2)^2 taps, so tier 2 is ~5.3x tier 1 compute — the
+#: device battery adjudicates whether it still beats the gather in-model.
+FEAT_WARP_TIERS = ((4, 4), (11, 11))
+
+
+def feat_warp(img: jax.Array, flow: jax.Array, tiers=FEAT_WARP_TIERS,
               vlim: int = 64, tile_h: int = 16,
               interpret: bool = False) -> jax.Array:
-    """Exact feature backwarp: planar tent kernel when the residual bounds
-    hold (checked ON DEVICE), packed-gather fallback otherwise."""
+    """Exact feature backwarp: the narrowest tent tier whose residual bounds
+    hold on the actual flow (checked ON DEVICE), packed-gather fallback when
+    none do."""
     from piv_liteflownet_tpu.ops.warp import backwarp
 
-    ok = feat_warp_bounds_ok(flow, ry, rx, vlim, tile_h)
-    return lax.cond(
-        ok,
-        lambda a, f: feat_warp_pallas(a, f, ry, rx, vlim, tile_h,
-                                      interpret=interpret),
-        lambda a, f: backwarp(a, f),
-        img, flow,
-    )
+    idx = jnp.int32(len(tiers))  # default: gather fallback
+    for i in range(len(tiers) - 1, -1, -1):
+        ry, rx = tiers[i]
+        idx = jnp.where(feat_warp_bounds_ok(flow, ry, rx, vlim, tile_h),
+                        jnp.int32(i), idx)
+    branches = [
+        (lambda a, f, t=t: feat_warp_pallas(a, f, t[0], t[1], vlim, tile_h,
+                                            interpret=interpret))
+        for t in tiers
+    ]
+    branches.append(lambda a, f: backwarp(a, f))
+    return lax.switch(idx, branches, img, flow)

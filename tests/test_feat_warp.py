@@ -58,6 +58,35 @@ def test_guarded_feat_warp_falls_back_on_rough_flow():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_tiered_feat_warp_exact_across_tiers():
+    """Every tier of the guarded entry (narrow tent, wide tent, gather) must
+    agree with the exact gather on flows routed to it."""
+    from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp
+
+    rng = np.random.default_rng(5)
+    h, w, c = 32, 128, 4
+    img = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
+    xs = np.arange(w, dtype=np.float32)[None, None, :] * np.ones((1, h, 1), np.float32)
+    cases = {
+        # smooth small flow -> tier 1 (residual < 4)
+        "tier1": np.stack([2.0 * np.sin(2 * np.pi * xs / w),
+                           1.5 * np.cos(2 * np.pi * xs / w)], axis=-1),
+        # steep high-frequency flow -> tier 2 (residual ~8 > 4, <= 11)
+        "tier2": np.stack([8.0 * np.sin(2 * np.pi * 5 * xs / w),
+                           7.0 * np.cos(2 * np.pi * 7 * xs / w)], axis=-1),
+    }
+    from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp_bounds_ok
+
+    assert bool(feat_warp_bounds_ok(jnp.asarray(cases["tier1"]), 4, 4))
+    assert not bool(feat_warp_bounds_ok(jnp.asarray(cases["tier2"]), 4, 4))
+    assert bool(feat_warp_bounds_ok(jnp.asarray(cases["tier2"]), 11, 11))
+    for name, f in cases.items():
+        flow = jnp.asarray(f.astype(np.float32))
+        ref = np.asarray(backwarp(img, flow))
+        got = np.asarray(feat_warp(img, flow, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=name)
+
+
 def test_tent_zero_padding_semantics():
     """Samples beyond the image blend with zeros exactly like grid_sample."""
     rng = np.random.default_rng(2)
