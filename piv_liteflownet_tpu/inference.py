@@ -85,6 +85,7 @@ def estimate(
     tensor: bool = False,
     precision="auto",
     mesh=None,
+    spatial_mesh=None,
 ):
     """Estimate flow for one pair or a batch of pairs.
 
@@ -100,6 +101,14 @@ def estimate(
     sharded over it (padded by repeating the last pair when B is not a
     multiple of the axis size) and every device runs the full pipeline on
     its shard. Aggregate throughput scales with the axis size.
+
+    spatial_mesh: optional ``Mesh`` with a ``spatial`` axis — each frame's
+    HEIGHT is sharded over it (``parallel/spatial.py``) so images larger than
+    one chip's HBM run with per-device peak ~H/N. The /32 adaptive resize is
+    raised to the next multiple of 32*N when needed (frames already divisible
+    keep the exact reference resize contract). Mutually exclusive with
+    ``mesh``. The reference destructively center-crops such frames instead
+    (reference ``src/datasets.py:307-315``).
     """
     # run in the params' dtype (bf16 fast path stays bf16 end to end)
     dtype = jnp.result_type(*(jax.tree.leaves(model.params)[:1] or [jnp.float32]))
@@ -112,6 +121,23 @@ def estimate(
         img1, img2 = img1[None], img2[None]
     assert img1.shape == img2.shape, "both frames must have the same shape"
     in_h, in_w = img1.shape[1], img1.shape[2]
+    ns = 1 if spatial_mesh is None else int(spatial_mesh.shape.get("spatial", 1))
+    if ns > 1:
+        assert mesh is None, "mesh and spatial_mesh are mutually exclusive"
+        from piv_liteflownet_tpu.parallel.spatial import spatial_estimate
+
+        ah, aw = _adaptive_size(in_h, in_w)
+        ah = int(math.ceil(ah / (32 * ns)) * 32 * ns)  # even level-6 H shards
+        if (in_h, in_w) != (ah, aw):
+            img1 = resize_bilinear(img1, ah, aw, precision)
+            img2 = resize_bilinear(img2, ah, aw, precision)
+        flow = spatial_estimate(model, img1, img2, spatial_mesh)
+        if (in_h, in_w) != (ah, aw):
+            flow = resize_bilinear(flow, in_h, in_w, precision)
+            flow = flow * jnp.asarray([in_w / aw, in_h / ah], flow.dtype)
+        if tensor or not single:
+            return flow
+        return np.asarray(flow[0])
     n = 1 if mesh is None else int(mesh.shape.get("data", 1))
     if n > 1:
         b = img1.shape[0]

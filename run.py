@@ -64,8 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(ModelConfig.conv_bands).")
     parser.add_argument("--native_io", action="store_true",
                         help="Use the C++ pthread batch loader (libpivio) for "
-                             "image ingest — PGM/PPM pair datasets only; other "
+                             "image ingest — PNM/PNG/TIFF pair datasets; other "
                              "formats fall back to the Python loader.")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="Shard each frame's HEIGHT over the first N devices "
+                             "(for images larger than one chip's HBM; per-device "
+                             "peak ~H/N, halo exchanges over ICI). Mutually "
+                             "exclusive with --num_devices > 1.")
     return parser
 
 
@@ -102,7 +107,7 @@ def image_mod(imgpath: str, brightness_factor: float = 1.0, contrast_factor: flo
 
 
 def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1,
-            batch_size=1, mesh=None, native_io=False):
+            batch_size=1, mesh=None, native_io=False, spatial_mesh=None):
     """DataLoader-path inference (reference ``run.py:137-168``), batched."""
     from piv_liteflownet_tpu.data.datasets import Run
     from piv_liteflownet_tpu.data.loader import BatchLoader, native_loader_for
@@ -127,7 +132,8 @@ def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1,
 
     inflight: deque = deque()
     for (im1, im2), names in loader:
-        inflight.append((estimate(model, im1, im2, tensor=True, mesh=mesh), names))
+        inflight.append((estimate(model, im1, im2, tensor=True, mesh=mesh,
+                          spatial_mesh=spatial_mesh), names))
         if len(inflight) > 2:
             flows, batch_names = inflight.popleft()
             flows = np.asarray(flows)
@@ -217,6 +223,15 @@ def main(argv=None):
             )
             block.log("bfloat16 fast path enabled")
         mesh = None
+        spatial_mesh = None
+        if args.spatial > 1:
+            assert args.num_devices <= 1, "--spatial and --num_devices are mutually exclusive"
+            from piv_liteflownet_tpu.parallel.mesh import make_mesh
+
+            n = min(args.spatial, len(jax.devices()))
+            if n > 1:
+                spatial_mesh = make_mesh(n, axes=("spatial",))
+                block.log(f"Spatially-sharded inference (H split over {n} devices)")
         if args.num_devices > 1:
             from piv_liteflownet_tpu.parallel.mesh import make_mesh
 
@@ -255,7 +270,7 @@ def main(argv=None):
         if args.brightness is None and args.contrast is None:
             main_dl(model, imdir, flodir, is_pair=args.is_pair, start_id=args.start,
                     num_images=args.num_images, batch_size=args.batch_size, mesh=mesh,
-                    native_io=args.native_io)
+                    native_io=args.native_io, spatial_mesh=spatial_mesh)
         else:
             brightness = (1.0,) if args.brightness is None else tuple(args.brightness)
             contrast = (1.0,) if args.contrast is None else tuple(args.contrast)

@@ -77,3 +77,27 @@ def test_halo_warp_keeps_warp_local():
     hlo = lowered.compile().as_text()
     assert "all-gather" not in hlo, "halo warp must not all-gather its operand"
     assert "collective-permute" in hlo, "halo exchange should ride ppermute"
+
+
+def test_estimate_spatial_mesh_matches_plain():
+    """estimate(spatial_mesh=...) must match the plain estimate() exactly when
+    the /32-resized H already splits evenly (the reference resize contract is
+    preserved), and handle odd sizes by raising the resize multiple."""
+    from piv_liteflownet_tpu.inference import estimate
+
+    model = piv_liteflownet(version=1)
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(4, axes=("spatial",))
+
+    im1 = rng.random((128, 128, 3), dtype=np.float32)
+    im2 = rng.random((128, 128, 3), dtype=np.float32)
+    ref = estimate(model, im1, im2)
+    got = estimate(model, im1, im2, spatial_mesh=mesh)
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+    # odd size: ah is raised from 128 to the next multiple of 32*4=128 (same
+    # here), output must come back at input resolution
+    o1 = rng.random((100, 96, 3), dtype=np.float32)
+    o2 = rng.random((100, 96, 3), dtype=np.float32)
+    out = estimate(model, o1, o2, spatial_mesh=mesh)
+    assert out.shape == (100, 96, 2) and np.isfinite(out).all()

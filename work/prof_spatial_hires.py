@@ -20,7 +20,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count="
+                      + os.environ.get("PIV_NDEV", "8"))
 
 import numpy as np
 
@@ -29,6 +30,7 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     version = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     parity = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    ndev = int(os.environ.get("PIV_NDEV", "8"))
 
     import jax.numpy as jnp
 
@@ -43,7 +45,7 @@ def main():
     img1 = rng.random((1, size, size, 3), dtype=np.float32)
     img2 = rng.random((1, size, size, 3), dtype=np.float32)
 
-    mesh = make_mesh(8, axes=("spatial",))
+    mesh = make_mesh(ndev, axes=("spatial",))
     t0 = time.time()
     out = spatial_estimate(model, img1, img2, mesh, halo=32, halo_warp=True)
     out = np.asarray(out)
