@@ -37,6 +37,8 @@ CONFIGS = [
     dict(warp_impl="tent", corr_impl="planar"),
     dict(conv_bands=True),
     dict(warp_impl="tent", corr_impl="planar", conv_bands=True),
+    dict(netc_joint="off"),                             # scheduling probe (r4)
+    dict(rgb_norm="gather"),                            # kernel value re-check (r4)
 ]
 
 for over in CONFIGS:

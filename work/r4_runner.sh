@@ -10,8 +10,9 @@ date
 python -u work/prof_model.py 1024 4 1,2            2>&1 | tail -4
 python -u work/prof_fwarp.py 4                     2>&1 | tail -12
 python -u work/prof_corr.py 4                      2>&1 | tail -10
-python -u work/prof_impls.py 1 4                   2>&1 | tail -8
-python -u work/prof_impls.py 2 4                   2>&1 | tail -8
+python -u work/prof_impls.py 1 4                   2>&1 | tail -10
+python -u work/prof_impls.py 2 4                   2>&1 | tail -10
+PIV_NO_WARP_BARRIER=1 python -u work/prof_model.py 1024 4 1,2 2>&1 | tail -4
 python -u work/prof_v2.py 2 4                      2>&1 | tail -16
 python -u work/prof_xla_flags.py 1 4               2>&1 | tail -8
 python -u work/prof_guard_tpu.py 4 1024            2>&1 | tail -10
