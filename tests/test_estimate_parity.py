@@ -161,3 +161,36 @@ def test_estimate_parity_trained_weights(ref_setup, tmp_path):
     # non-degenerate as well as matching
     assert np.abs(ref_flow).max() > 0.05, "trained model output degenerate"
     assert epe.max() <= 1e-3, f"max EPE {epe.max():.2e} vs reference estimate()"
+
+
+def test_estimate_parity_trained_weights_v2(ref_setup, tmp_path):
+    """Same trained-operating-point gate for the v2 backbone (the north-star
+    serving path): round-3 v2 weights (val EPE 0.276 px) through the torch
+    reference's own LiteFlowNet2."""
+    import sys
+
+    from piv_liteflownet_tpu.utils.checkpoint import load_params_npz
+
+    npz = "/root/repo/work/synth_run_v2/params_final.npz"
+    if not os.path.isfile(npz):
+        pytest.skip("round-3 v2 trained weights not present")
+    ref_inference, _, _ = ref_setup
+    ref_models = sys.modules["src.models"]
+
+    cfg = piv_liteflownet(version=2).cfg
+    params = load_params_npz(npz)
+    sd = to_torch_state_dict(cfg, params)
+    pth = str(tmp_path / "trained_v2.paramOnly")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+    ref_net = ref_models.piv_liteflownet(None, version=2)
+    ref_net.load_state_dict(torch.load(pth, map_location="cpu", weights_only=True),
+                            strict=True)
+    ref_net.eval()
+
+    model = piv_liteflownet(params, version=2)
+    im1, im2 = _load_demo()
+    ref_flow = _ref_estimate(ref_inference, ref_net, im1, im2)
+    got_flow = estimate(model, im1, im2)
+    epe = np.sqrt(((got_flow - ref_flow) ** 2).sum(-1))
+    assert np.abs(ref_flow).max() > 0.05, "trained model output degenerate"
+    assert epe.max() <= 1e-3, f"max EPE {epe.max():.2e} vs reference estimate()"
