@@ -11,6 +11,11 @@ The r4 on-device battery found `pltpu.roll(slab, -phase, axis=1)` on the 3D
   C  weight-fold   : keep aligned DMA; fold phase into the tent weights
                      (rv' = rv + phase scalar) with 7 extra tap rows; lane
                      rotate for bu kept on the 3D slab.
+  E  dma-offset    : NO rotates at all — both integer base shifts become
+                     dynamic (row, lane) starts of the HBM->VMEM DMA. The
+                     full error text says Mosaic lacks dynamic rotate for
+                     non-32-bit data entirely, so A/B/C's bf16 lane rotate
+                     is at risk too; E is the rotate-free design.
 
 Usage:  python -u work/fwarp_fix.py [batch] [h] [w] [c]   (compile+time+check)
 """
@@ -44,10 +49,15 @@ def _kernel(sy_ref, phase_ref, bu_ref, ru_ref, rv_ref, img_ref,
     tj = pl.program_id(2)
 
     sy = sy_ref[ib, ti, tj]
-    if mode != "A":
+    if mode not in ("A", "E"):
         sy = pl.multiple_of(sy, 8)
+    cs = 128 * tj
+    if mode == "E":
+        # left lane margin is 256 in E (vs 128): +128 keeps cs >= 7 even at
+        # tj=0 with the most negative bu (slice starts must not clamp)
+        cs = cs + bu_ref[ib, ti, tj] + 128
     dma = pltpu.make_async_copy(
-        img_ref.at[ib, :, pl.ds(sy, sh), pl.ds(128 * tj, 384)],
+        img_ref.at[ib, :, pl.ds(sy, sh), pl.ds(cs, 384)],
         slab_ref,
         sem,
     )
@@ -104,6 +114,20 @@ def _kernel(sy_ref, phase_ref, bu_ref, ru_ref, rv_ref, img_ref,
             return carry
 
         lax.fori_loop(0, c, cbody, 0)
+    elif mode == "E":
+        # slab already row- AND lane-shifted by the DMA: taps are static
+        def cbody(ci, carry):
+            acc = jnp.zeros((th, 128), jnp.float32)
+            t = 0
+            for dy in range(nyt):
+                for dx in range(nx):
+                    tap = slab_ref[ci, dy : dy + th, 128 - rx + dx : 256 - rx + dx]
+                    acc = acc + wprod[t] * tap.astype(jnp.float32)
+                    t += 1
+            out_ref[0, ci] = acc.astype(out_ref.dtype)
+            return carry
+
+        lax.fori_loop(0, c, cbody, 0)
     else:  # C
         rot_ref[...] = pltpu.roll(slab_ref[...], -bu_ref[ib, ti, tj], axis=2)
 
@@ -137,15 +161,16 @@ def feat_warp_variant(img, flow, ry=3, rx=3, vlim=64, tile_h=16,
     ny = 2 * ry + 2
     nx = 2 * rx + 2
     nyt = ny + 7 if mode == "C" else ny
-    # rows the taps touch: th+ny (A, phase-free) / th+ny+7 (B/C, phase<=7)
-    sh = _round_up(th + ny + (0 if mode == "A" else 7), 8)
+    # rows the taps touch: th+ny (A/E, phase-free) / th+ny+7 (B/C, phase<=7)
+    sh = _round_up(th + ny + (0 if mode in ("A", "E") else 7), 8)
     my = vlim + ry + 8
     dtype = img.dtype
 
     planes = jnp.moveaxis(img, -1, 1)
+    lpad = 256 if mode == "E" else 128
     planes = jnp.pad(
         planes,
-        ((0, 0), (0, 0), (my, my + (hp - h) + sh), (128, 256 + cw - w)),
+        ((0, 0), (0, 0), (my, my + (hp - h) + sh), (lpad, 256 + cw - w)),
     )
 
     f = flow.astype(jnp.float32)
@@ -166,7 +191,7 @@ def feat_warp_variant(img, flow, ry=3, rx=3, vlim=64, tile_h=16,
 
     iy = lax.broadcasted_iota(jnp.int32, (1, nty, 1), 1) * th
     sy_raw = iy + bv + (my - ry)
-    if mode == "A":
+    if mode in ("A", "E"):
         sy = sy_raw
         phase = jnp.zeros_like(sy_raw)
     else:
@@ -218,7 +243,7 @@ if __name__ == "__main__":
 
     ref = np.asarray(backwarp(img, flow).astype(jnp.float32))
 
-    for mode in ("A", "B", "C"):
+    for mode in ("E", "A", "B", "C"):
         for ry, rx in ((4, 4), (11, 11)):
             name = f"{mode} r=({ry},{rx})"
             try:
