@@ -44,12 +44,20 @@ def main():
     img2 = jnp.asarray(rng.random((batch, size, size, 3), np.float32), jnp.bfloat16)
     flow = jnp.asarray(rng.uniform(-3, 3, (batch, size, size, 2)).astype(np.float32))
 
-    # 1. standalone tier costs
-    t = chained_time(lambda a, b: rgb_warp_norm_gather(a, b, flow), (img1, img2))
+    # 1. standalone tier costs. The carry must thread through img2 AND flow,
+    # or XLA hoists the loop-invariant warp out of the timing scan entirely
+    # (the r4 battery measured t(n=6)==t(n=2) that way).
+    def dep(fn):
+        def g(a, b):
+            eps = (jnp.sum(a).astype(jnp.float32) * jnp.float32(1e-30))
+            return fn(a, b + eps.astype(b.dtype), flow + eps)
+        return g
+
+    t = chained_time(dep(rgb_warp_norm_gather), (img1, img2))
     print(f"gather           : {1e3 * t / batch:7.2f} ms/pair", flush=True)
     for r, lim in RGB_NORM_TIERS:
         t = chained_time(
-            lambda a, b, r=r, lim=lim: rgb_warp_norm_pallas(a, b, flow, r, lim),
+            dep(lambda a, b, f, r=r, lim=lim: rgb_warp_norm_pallas(a, b, f, r, lim)),
             (img1, img2))
         print(f"tent r={r:2d} lim={lim:2d}: {1e3 * t / batch:7.2f} ms/pair", flush=True)
 
