@@ -121,15 +121,20 @@ def correlation_pallas(f1s: jax.Array, f2s: jax.Array, tile_h: int = 32,
 
 
 def _corr_planar_kernel(f1_ref, f2p_ref, out_ref, slab_ref, sem, *,
-                        th: int, wp: int, c: int, inv_c: float):
+                        th: int, wp: int, sh: int, c: int, inv_c: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ib = pl.program_id(0)
     ti = pl.program_id(1)
 
+    # Two Mosaic DMA rules bisected on device (r4 battery): the dynamic row
+    # START must be provably 8-aligned (multiple_of hint; an unprovable start
+    # crashes the compile helper outright) and the slice SHAPE on the sublane
+    # dim must be a multiple of 8 ("Slice shape along dimension 2 must be
+    # aligned to tiling (8), but is 22") — hence sh = round_up(th+2*MD, 8).
     dma = pltpu.make_async_copy(
-        f2p_ref.at[ib, :, pl.ds(ti * th, th + 2 * MD), :],
+        f2p_ref.at[ib, :, pl.ds(pl.multiple_of(ti * th, 8), sh), :],
         slab_ref,
         sem,
     )
@@ -144,8 +149,11 @@ def _corr_planar_kernel(f1_ref, f2p_ref, out_ref, slab_ref, sem, *,
                 bv = slab_ref[ci, dy : dy + th, dx : dx + wp].astype(f32)
                 return acc + a * bv
 
+            # Mosaic's fori_loop lowering supports only unroll=1 or full
+            # unroll (=num_steps); 8 fails on device (r4 battery). Full
+            # unroll of c=64 x 49 taps explodes compile time, so unroll=1.
             acc = jax.lax.fori_loop(
-                0, c, body, jnp.zeros((th, wp), f32), unroll=8)
+                0, c, body, jnp.zeros((th, wp), f32), unroll=1)
             out_ref[0, dy * (2 * MD + 1) + dx] = (
                 acc * inv_c).astype(out_ref.dtype)
 
@@ -166,17 +174,25 @@ def correlation_planar_pallas(f1s: jax.Array, f2s: jax.Array,
     th = tile_h
     hp = _round_up(h, th)
     wp = _round_up(w, 128)
-    swp = wp + 8  # lane slack for the dx in [0, 6] shifted slices
+    # Lane slack for the dx in [0, 6] shifted slices. A full 128 lanes (not
+    # 8) because the DMA copies the slab's whole lane extent and Mosaic
+    # requires DMA slice shapes 128-aligned on the lane dim ("Slice shape
+    # along dimension 3 must be aligned to tiling (128), but is 136" — r4
+    # battery).
+    swp = wp + 128
+    sh = _round_up(th + 2 * MD, 8)  # slab rows: DMA slice shape must be 8-aligned
 
     f1t = f1s.transpose(0, 3, 1, 2)  # [B, C, H, W]
     f2t = f2s.transpose(0, 3, 1, 2)
     f1p = jnp.pad(f1t, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
-    # f2: MD-row halo top/bottom, MD-lane left shift, slack right
+    # f2: MD-row halo on top; bottom pad covers the last tile's sh-row slab
+    # (max DMA end = hp - th + sh); MD-lane left shift, slack right
     f2p = jnp.pad(
-        f2t, ((0, 0), (0, 0), (MD, MD + hp - h), (MD, swp - w - MD)))
+        f2t, ((0, 0), (0, 0), (MD, (hp - h) + (sh - th - MD)), (MD, swp - w - MD)))
 
     out = pl.pallas_call(
-        functools.partial(_corr_planar_kernel, th=th, wp=wp, c=c, inv_c=1.0 / c),
+        functools.partial(_corr_planar_kernel, th=th, wp=wp, sh=sh, c=c,
+                          inv_c=1.0 / c),
         grid=(b, hp // th),
         in_specs=[
             pl.BlockSpec((1, c, th, wp), lambda ib, i: (ib, 0, i, 0),
@@ -187,7 +203,7 @@ def correlation_planar_pallas(f1s: jax.Array, f2s: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, NDISP, hp, wp), f1s.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 2 * MD, swp), f2s.dtype),
+            pltpu.VMEM((c, sh, swp), f2s.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -16,10 +16,15 @@ This kernel keeps the tent-window idea but fixes the arithmetic density:
   transposes around the kernel are dense copies (~1.3 ms total at
   1024^2 x 64 x b4), far below the tent-vs-gather gap.
 - Per-(16-row x 128-col) tile integer base shifts ``bv = round(mean v)``,
-  ``bu = round(mean u)`` are applied ON CHIP with dynamic sublane/lane
-  rotates (``pltpu.roll``) of the VMEM slab — NOT absorbed into the tent.
-  The y DMA-alignment phase is rotated away too, so the tent is only
-  ``(2r+2) x (2r+2)`` taps (8x8 at r_y=3, r_x=3) instead of r3's 6x13.
+  ``bu = round(mean u)`` are applied ON CHIP with dynamic 2D rotates of
+  each channel's plane — widened to f32 first, because the TPU Mosaic
+  backend has no dynamic-rotate lowering for bf16 at all ("Rotate with
+  non-32-bit data", r4 on-device battery) and crashes outright on
+  unaligned or lane-dynamic DMA starts, so neither a bf16 slab rotate nor
+  folding the shifts into the DMA offsets can work. The y DMA-alignment
+  phase is rotated away in the same pass, so the tent is only
+  ``(2r+2) x (2r+2)`` taps (8x8 at r_y=3, r_x=3) instead of r3's 6x13,
+  and the taps read the already-f32 plane (they accumulated in f32 anyway).
 - Tent weights ``relu(1 - |res - d|)`` are nonzero exactly at the true 4
   bilinear taps -> EXACT grid_sample(bilinear, zeros, align_corners=True)
   semantics whenever the residual bounds hold; ``feat_warp`` checks them on
@@ -45,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _feat_warp_kernel(sy_ref, phase_ref, bu_ref, ru_ref, rv_ref, img_ref,
-                      out_ref, slab_ref, rot_ref, sem, *,
+                      out_ref, slab_ref, sem, *,
                       c, th, sh, ry, rx, ny, nx):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -66,26 +71,36 @@ def _feat_warp_kernel(sy_ref, phase_ref, bu_ref, ru_ref, rv_ref, img_ref,
     zero = jnp.float32(0.0)
     ru = ru_ref[0]  # [th, 128] f32: u - bu
     rv = rv_ref[0]  # [th, 128] f32: v - bv
-    # 48 tent weight planes, shared by every channel
+    # tent weight planes, shared by every channel
     wys = [jnp.maximum(zero, one - jnp.abs(rv - jnp.float32(dy - ry)))
            for dy in range(ny)]
     wxs = [jnp.maximum(zero, one - jnp.abs(ru - jnp.float32(dx - rx)))
            for dx in range(nx)]
     wprod = [wy * wx for wy in wys for wx in wxs]
 
+    phase = phase_ref[ib, ti, tj]
+    bu = bu_ref[ib, ti, tj]
     dma.wait()
-    # undo the DMA row phase and apply the integer base shifts on-chip
-    rot = pltpu.roll(slab_ref[...], -phase_ref[ib, ti, tj], axis=1)
-    rot = pltpu.roll(rot, -bu_ref[ib, ti, tj], axis=2)
-    rot_ref[...] = rot
 
     def cbody(ci, carry):
+        # f32 2D dynamic rotates: undo the DMA row-alignment phase and apply
+        # the integer base shifts. Widening first is mandatory (no bf16
+        # dynamic-rotate lowering) and free-ish: taps accumulate in f32.
+        plane = slab_ref[ci].astype(jnp.float32)
+        # BOTH dynamic-rotate shifts normalized to [0, size): the device
+        # lowering is exact for non-negative shifts on every probed shape,
+        # but NEGATIVE shifts mis-rotate (lane axis: spurious +128 offset;
+        # sublane axis: row-count-dependent bias except at 32 rows — r4
+        # probes /tmp/roll_bias, /tmp/roll_rows). Rotation is periodic, so
+        # the non-negative equivalent is always available and exact.
+        plane = pltpu.roll(plane, jnp.remainder(-phase, sh), axis=0)
+        plane = pltpu.roll(plane, jnp.remainder(-bu, 384), axis=1)
         acc = jnp.zeros((th, 128), jnp.float32)
         t = 0
         for dy in range(ny):
             for dx in range(nx):
-                tap = rot_ref[ci, dy : dy + th, 128 - rx + dx : 256 - rx + dx]
-                acc = acc + wprod[t] * tap.astype(jnp.float32)
+                tap = plane[dy : dy + th, 128 - rx + dx : 256 - rx + dx]
+                acc = acc + wprod[t] * tap
                 t += 1
         out_ref[0, ci] = acc.astype(out_ref.dtype)
         return carry
@@ -165,7 +180,6 @@ def feat_warp_pallas(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((c, sh, 384), dtype),
-            pltpu.VMEM((c, sh, 384), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -204,12 +218,13 @@ def feat_warp_bounds_ok(flow: jax.Array, ry: int = 3, rx: int = 3,
     return (resid(v, vlim) <= float(ry)) & (resid(u, 126 - rx - 1) <= float(rx))
 
 
-#: (ry, rx) tent tiers, narrow->wide. Same trained-model residual study as
-#: the rgb-norm tiers (work/guard_resid.log): benign flows reach per-tile
-#: residual 3.2 at L1 -> (4, 4) covers them; steep flows reach ~10 -> (11, 11).
-#: The tent here is (2r+2)^2 taps, so tier 2 is ~5.3x tier 1 compute — the
-#: device battery adjudicates whether it still beats the gather in-model.
-FEAT_WARP_TIERS = ((4, 4), (11, 11))
+#: (ry, rx) tent tiers, narrow->wide. Residual study (work/guard_resid.log):
+#: benign flows reach per-tile residual 3.2 at L1 -> (4, 4) covers them.
+#: Device-measured (r4, b4 1024^2 c64 bf16): tier (4,4) 75 ms vs gather
+#: 100 ms; a wide (11,11) tier measured 233 ms — 2.3x WORSE than the
+#: gather — so steep flows go straight to the exact gather fallback
+#: instead of a wider tent.
+FEAT_WARP_TIERS = ((4, 4),)
 
 
 def feat_warp(img: jax.Array, flow: jax.Array, tiers=FEAT_WARP_TIERS,

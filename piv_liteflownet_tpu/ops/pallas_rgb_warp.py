@@ -224,11 +224,15 @@ def rgb_warp_norm_gather(img1: jax.Array, img2: jax.Array,
 #: (r, lim) tent tiers for the guarded path, narrow->wide. Chosen from the
 #: measured per-level bounds of the TRAINED v1 model on synthetic PIV fields
 #: (work/guard_resid.log, r4): benign flows (vortex s3 / shear 4 / sine 2.5)
-#: reach |u| 5.0 and tile residual 3.2 at L1 -> tier 1 (r=4, lim=8) covers
-#: them; steep flows (|u| to 12, residual to 10.1) need tier 2 (r=11, lim=13).
-#: Tap count scales as (2r+9)(2lim+2), so tier 2 is ~2.8x tier 1 — still well
-#: under the 10.2 ms/pair gather it replaces at 1024^2.
-RGB_NORM_TIERS = ((4, 8), (11, 13))
+#: reach |u| 5.0 and tile residual 3.2 at L1 -> (r=4, lim=8) covers them.
+#: A second wide tier (11, 13) for steep flows (|u| to 12, residual 10.1) was
+#: tried and REVERTED (r4): its 868-tap unrolled body blows Mosaic's 16M
+#: scoped-VMEM stack at small levels (18.77M frame at the 128^2 f32 level),
+#: and lax.switch compiles every branch — so it broke ALL device inference,
+#: not just steep flows. The feat-warp analog also measured a wide tent 2.3x
+#: WORSE than the gather it replaces, so steep flows go straight to the exact
+#: gather fallback instead.
+RGB_NORM_TIERS = ((4, 8),)
 
 
 def rgb_warp_norm(img1: jax.Array, img2: jax.Array, flow: jax.Array,

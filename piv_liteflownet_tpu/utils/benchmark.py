@@ -26,9 +26,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def make_chained(fn, n_iters: int):
+def make_chained(fn, n_iters: int, compiler_options=None, example_args=None):
     """Jitted g(*args): run ``fn(*args)`` ``n_iters`` times serially on device,
-    returning one f32 scalar (see module docstring)."""
+    returning one f32 scalar (see module docstring).
+
+    ``compiler_options`` (dict) is forwarded per-compile to the backend XLA
+    compiler — on this rig that is the only route that reaches the remote TPU
+    compiler (env XLA_FLAGS with ``xla_tpu_*`` names crashes the local CPU
+    jaxlib flag parser; r4 battery). Requires ``example_args`` for AOT
+    lower+compile.
+    """
 
     @jax.jit
     def g(*args):
@@ -44,15 +51,23 @@ def make_chained(fn, n_iters: int):
         s, _ = lax.scan(body, jnp.float32(0.0), None, length=n_iters)
         return s
 
+    if compiler_options:
+        return jax.jit(g.__wrapped__).lower(*example_args).compile(
+            compiler_options=compiler_options)
     return g
 
 
-def chained_time(fn, args, n_lo: int = 2, n_hi: int = 6, reps: int = 3) -> float:
-    """Per-iteration seconds of ``fn(*args)``, dispatch overhead excluded."""
-    g_lo = make_chained(fn, n_lo)
-    g_hi = make_chained(fn, n_hi)
+def chained_time(fn, args, n_lo: int = 2, n_hi: int = 6, reps: int = 3,
+                 compiler_options=None) -> float:
+    """Per-iteration seconds of ``fn(*args)``, dispatch overhead excluded.
+
+    For fast ops the ~30 ms tunnel dispatch jitter can swallow a short
+    chain-length difference; instead of reporting an absurd figure (or
+    aborting a whole profiling battery), escalate ``n_hi`` until the delta
+    rises cleanly above the jitter floor.
+    """
+    g_lo = make_chained(fn, n_lo, compiler_options, args)
     float(g_lo(*args))  # compile + warm
-    float(g_hi(*args))
 
     def run(g):
         best = float("inf")
@@ -62,13 +77,17 @@ def chained_time(fn, args, n_lo: int = 2, n_hi: int = 6, reps: int = 3) -> float
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = run(g_lo), run(g_hi)
-    dt = t_hi - t_lo
-    if dt <= 1e-6:
-        # Dispatch jitter swallowed the chain-length difference — a clamped
-        # value would silently report an absurd throughput figure.
-        raise RuntimeError(
-            f"chained_time: t(n={n_hi})={t_hi:.4f}s <= t(n={n_lo})={t_lo:.4f}s "
-            "(dispatch jitter dominates; increase n_hi or reps)"
-        )
-    return dt / (n_hi - n_lo)
+    t_lo = run(g_lo)
+    for nh in (n_hi, 4 * n_hi, 16 * n_hi, 64 * n_hi):
+        g_hi = make_chained(fn, nh, compiler_options, args)
+        float(g_hi(*args))
+        t_hi = run(g_hi)
+        dt = t_hi - t_lo
+        if dt > max(1e-6, 0.15 * t_lo):
+            return dt / (nh - n_lo)
+    # Even a 64x chain didn't separate from the jitter floor — a clamped
+    # value would silently report an absurd throughput figure.
+    raise RuntimeError(
+        f"chained_time: t(n={nh})={t_hi:.4f}s ~ t(n={n_lo})={t_lo:.4f}s "
+        "(dispatch jitter dominates even at 64x chain length)"
+    )
