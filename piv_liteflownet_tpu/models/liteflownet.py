@@ -82,6 +82,11 @@ class ModelConfig:
     #    the tent is only 8x8 taps. Guarded by the on-device residual check
     #    with exact gather fallback; forward-only (training forces gather);
     #    CPU-gated like the other kernels.
+    #  - "tent!": the same kernel UNGUARDED — no residual check, no
+    #    lax.switch, no gather branch. Exact iff the per-tile residual bounds
+    #    hold (they do for PIV-scale flows; work/guard_resid.log); out-of-
+    #    bound tiles degrade to a clamped tent instead of falling back.
+    #    Serves perf-critical pipelines that pre-validate their flow regime.
     warp_impl: str = "gather"
     # Space-to-batch conv banding (exact; test_banding.py): lifts isolated
     # b<8 conv stacks from ~19 to ~6.6 ms/4Mpx, but measured NET-SLOWER
@@ -512,16 +517,21 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
 
     use_tent = (
-        cfg.warp_impl == "tent" and get_spatial_ctx() is None
+        cfg.warp_impl in ("tent", "tent!") and get_spatial_ctx() is None
         and f2.shape[2] >= 128 and f2.shape[1] >= 16
         and _pallas_backend()
     )
     if "warpS" in cfg.ablate:
         f2w = f2
     elif use_tent:
-        from piv_liteflownet_tpu.ops.pallas_feat_warp import feat_warp
+        from piv_liteflownet_tpu.ops.pallas_feat_warp import (
+            feat_warp, feat_warp_pallas, FEAT_WARP_TIERS)
 
-        f2w = _bar(feat_warp(f2, flow * sf))
+        if cfg.warp_impl == "tent!":  # unguarded: no switch, no gather branch
+            ry, rx = FEAT_WARP_TIERS[0]
+            f2w = _bar(feat_warp_pallas(f2, flow * sf, ry, rx))
+        else:
+            f2w = _bar(feat_warp(f2, flow * sf))
     elif f2p is not None:
         f2w = _bar(gather_warp(f2p, f2.shape[1], f2.shape[2], flow * sf))
     else:
@@ -649,7 +659,7 @@ def forward(
     if train and cfg.corr_impl != "xla":
         # the planar correlation kernel is forward-only
         cfg = dataclasses.replace(cfg, corr_impl="xla")
-    if train and cfg.warp_impl == "tent":
+    if train and cfg.warp_impl in ("tent", "tent!"):
         # the planar tent warp is forward-only
         cfg = dataclasses.replace(cfg, warp_impl="gather")
 

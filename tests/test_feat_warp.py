@@ -96,3 +96,31 @@ def test_tent_zero_padding_semantics():
     ref = np.asarray(backwarp(img, flow))
     got = np.asarray(feat_warp_pallas(img, flow, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_unguarded_config_accepted_and_train_forces_gather():
+    """warp_impl="tent!" (unguarded kernel, no switch) must be accepted by
+    the forward config plumbing; on CPU the Pallas gate routes it to the
+    gather, so eval output matches the default exactly, and the train path
+    must force the (differentiable) gather regardless."""
+    import dataclasses
+
+    import jax
+
+    from piv_liteflownet_tpu.models.factory import piv_liteflownet
+    from piv_liteflownet_tpu.models.liteflownet import forward
+
+    model = piv_liteflownet(version=1)
+    rng = np.random.default_rng(11)
+    img1 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    img2 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+
+    base = forward(model.params, img1, img2, model.cfg, train=False)
+    cfg = dataclasses.replace(model.cfg, warp_impl="tent!")
+    got = forward(model.params, img1, img2, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=0)
+
+    outs = forward(model.params, img1, img2, cfg, train=True)
+    ref = forward(model.params, img1, img2, model.cfg, train=True)
+    for a, b in zip(jax.tree.leaves(outs), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

@@ -33,6 +33,9 @@ img2 = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, SIZE, SIZE, 3), jn
 CONFIGS = [
     dict(),                                             # baseline (r3+netc_joint)
     dict(warp_impl="tent"),
+    dict(warp_impl="tent!"),                            # unguarded (r4e): guard-cost attribution
+    dict(warp_impl="tent!", netc_joint="off"),          # best-known combo probe
+
     dict(corr_impl="planar"),
     dict(warp_impl="tent", corr_impl="planar"),
     dict(conv_bands=True),
