@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Round-4g battery: rerun of the r4e/r4f probes that died in the host restart.
+# Sequential, each stage time-boxed. Launch:
+#   nohup bash work/r4g_runner.sh > work/r4g_runner.log 2>&1 &
+set -x
+cd /root/repo
+
+timeout -k 15 3600 python -u work/prof_impls.py 1 4 1024   > work/impls_r4g_v1.log 2>&1
+timeout -k 15 3600 python -u work/prof_impls.py 2 4 1024   > work/impls_r4g_v2.log 2>&1
+timeout -k 15 2400 python -u work/prof_netc.py 2 4 256,512,1024 > work/netc_v2.log 2>&1
+timeout -k 15 1800 python -u work/prof_netc.py 1 4 256,512 > work/netc_v1.log 2>&1
+timeout -k 15 2400 python -u work/prof_v2_batch.py 2 8,16 1024 > work/v2_batch.log 2>&1
+timeout -k 15 2400 python -u work/prof_train_ablate.py     > work/train_ablate.log 2>&1
+timeout -k 15 3600 python -u work/prof_copts.py v2 4       > work/copts_v2.log 2>&1
+date
+echo "R4G RUNNER DONE"
+# appended while running (bash reads lazily; appends at EOF execute)
+PIV_NO_WARP_BARRIER=1 timeout -k 15 2400 python -u work/prof_model.py 1024 4 1,2 > work/barrier_off.log 2>&1
+date
+echo "R4G APPENDED STAGES DONE"
