@@ -668,12 +668,15 @@ def forward(
     x2 = img2 - mean[3:]
     in_h, in_w = x1.shape[1], x1.shape[2]
 
-    from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
-
     batch = x1.shape[0]
-    netc_joint = cfg.netc_joint == "on" or (
-        cfg.netc_joint == "auto" and batch < 8 and get_spatial_ctx() is None
-    )
+    # "auto" resolves to OFF: the 2B-batch joint NetC wins standalone (~0.4
+    # ms/pair) but LOSES in-model at every measured shape — r4g probes
+    # (work/netc_v1.log, work/netc_v2.log): v1 1024^2 b4 135.1 -> 129.3,
+    # 512^2 32.1 -> 31.1, 256^2 9.03 -> 8.91; v2 1024^2 42.3 -> 40.0,
+    # 256^2 3.11 -> 2.72 — the concat/slice traffic and the scheduling
+    # serialization around the joint call outweigh the batched-conv gain.
+    # "on" stays available (exact; test_netc_joint.py).
+    netc_joint = cfg.netc_joint == "on"
     if netc_joint:
         feats = _netc(params, jnp.concatenate([x1, x2], axis=0), precision)
         feat1 = [f[:batch] for f in feats]
