@@ -148,6 +148,14 @@ class BatchLoader:
         if self.drop_last and batches and len(batches[-1]) < bs:
             batches.pop()
 
+        if self.num_workers <= 0:
+            # torch DataLoader semantics: num_workers=0 loads synchronously
+            # in the calling thread (reference run.py/trainer.py pass it
+            # through from --number_workers)
+            for batch_idx in batches:
+                yield _collate([self.dataset[int(i)] for i in batch_idx])
+            return
+
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # Pipeline: keep 2 batches of futures in flight.
             pending = []

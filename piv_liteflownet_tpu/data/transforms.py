@@ -90,18 +90,29 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
     wy = (y - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    flat = img.reshape(h * w, -1)
-
-    def g(yy, xx):
-        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(*x.shape, -1)
-
+    # TPU gathers are descriptor(row)-bound, so the four bilinear taps are
+    # packed into 4C-wide rows (one bottom/right zero pad) and fetched with
+    # ONE gather instead of four — the same trick as ops/warp.pack_img,
+    # measured 3.4x there; the r4 train-step ablation put augmentation at
+    # 49 ms/step (b8 256^2), most of it these gathers. The clip above
+    # guarantees x0, y0 in range, and x == w-1 gives wx == 0 so the padded
+    # (x0+1) tap never carries weight (same for y).
+    c = img.shape[-1]
+    imgp = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [imgp[:h, :w], imgp[:h, 1:], imgp[1:, :w], imgp[1:, 1:]], axis=-1
+    ).reshape(h * w, 4 * c)
+    taps = jnp.take(packed, (y0 * w + x0).reshape(-1), axis=0)
+    taps = taps.reshape(*x.shape, 4, c)
+    w00 = (1 - wx) * (1 - wy)
+    w01 = wx * (1 - wy)
+    w10 = (1 - wx) * wy
+    w11 = wx * wy
     out = (
-        g(y0, x0) * (1 - wx) * (1 - wy)
-        + g(y0, x1) * wx * (1 - wy)
-        + g(y1, x0) * (1 - wx) * wy
-        + g(y1, x1) * wx * wy
+        taps[..., 0, :] * w00
+        + taps[..., 1, :] * w01
+        + taps[..., 2, :] * w10
+        + taps[..., 3, :] * w11
     )
     if oob is not None:
         out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)

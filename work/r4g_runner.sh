@@ -18,3 +18,10 @@ echo "R4G RUNNER DONE"
 PIV_NO_WARP_BARRIER=1 timeout -k 15 2400 python -u work/prof_model.py 1024 4 1,2 > work/barrier_off.log 2>&1
 date
 echo "R4G APPENDED STAGES DONE"
+timeout -k 15 1800 python -u work/prof_netc_alone.py 4 1024 > work/netc_alone.log 2>&1
+timeout -k 15 900 python -u work/prof_trace_probe.py > work/trace_probe.log 2>&1
+date
+echo "R4G APPENDED-2 DONE"
+timeout -k 15 2400 python -u work/prof_train_ablate.py > work/train_ablate_packed.log 2>&1
+date
+echo "R4G APPENDED-3 DONE"
