@@ -49,9 +49,13 @@ CASES = [
     ("ablate warp+S ", ("warp", "warpS", "S")),
 ]
 
+CASES.append(("full rbg-rng  ", ()))  # aug RNG cost: threefry vs fast rbg keys
+
 for label, abl in CASES:
     cfg = dataclasses.replace(model.cfg, ablate=abl or ())
     pipe_obj = pipe if abl is not None else None
+    rng_impl = "rbg" if "rbg" in label else "threefry2x32"
+    jax.config.update("jax_default_prng_impl", rng_impl)
     try:
         step = make_train_step(cfg, piv_loss(version=1), tx,
                                pipeline=pipe_obj, compute_dtype=jnp.bfloat16)
