@@ -199,13 +199,28 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
     by = jnp.maximum(0.0, -th)
 
     fill = pipe.pad_fill
-    out1 = _bilinear_sample(img1, xs + ax, ys + ay, fill=fill)
     out2 = _bilinear_sample(img2, xs + bx, ys + by, fill=fill)
 
     new_flow = None
-    if flow is not None:
-        f = _bilinear_sample(flow, xs + ax, ys + ay,
-                             fill=None if fill is None else (0.0, 0.0))
+    if flow is None:
+        out1 = _bilinear_sample(img1, xs + ax, ys + ay, fill=fill)
+    else:
+        # img1 and the flow share the exact same sample grid (xs+ax, ys+ay),
+        # so they ride ONE combined gather (20-wide packed rows instead of
+        # 12+8) — per-channel taps and weights are unchanged, so this is
+        # exact; only the fill vector is per-channel (img fill + flow zeros).
+        fill_c = None
+        if fill is not None:
+            fill_c = np.concatenate([
+                np.broadcast_to(np.asarray(fill, np.float32), (img1.shape[-1],)),
+                np.zeros((flow.shape[-1],), np.float32),
+            ])
+        comb = _bilinear_sample(
+            jnp.concatenate([img1, flow.astype(img1.dtype)], axis=-1),
+            xs + ax, ys + ay, fill=fill_c,
+        )
+        out1 = comb[..., : img1.shape[-1]]
+        f = comb[..., img1.shape[-1]:]
         f = f + jnp.stack([tw, th])  # translate offset (reference :166-168)
         f = f * s  # scale rescales u, v (reference resize_flow contract)
         if pipe.rotate:
