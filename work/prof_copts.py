@@ -42,6 +42,9 @@ CANDIDATES = {
     "retry_oom": {"xla_tpu_autofdo_profile": ""},  # canary-ish
     "async_dma": {"xla_tpu_enable_async_dma": True},
     "bloat16_all": {"xla_allow_excess_precision": False},
+    # r4g: rwb_fusion_off measured +2.5% on v2 (38.9 vs 39.9) — combo probes
+    "rwb_off_vmem64M": {"xla_tpu_rwb_fusion": False,
+                        "xla_tpu_scoped_vmem_limit_kib": 65536},
 }
 
 

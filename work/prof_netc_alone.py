@@ -72,7 +72,10 @@ got = jax.jit(netc_banded)(xs)
 for i, (r, g) in enumerate(zip(ref, got)):
     d = float(jnp.max(jnp.abs(r.astype(jnp.float32) - g.astype(jnp.float32))))
     print(f"level {i+1}: max|diff| = {d:.2e}", flush=True)
-    assert d == 0.0, f"banded NetC inexact at level {i+1}"
+    # bf16 conv rounding differs ulp-level between band/plain tilings on
+    # device (measured 4.88e-04 at level 2 = 2^-11, one bf16 ulp of ~0.06
+    # activations); an indexing bug would be O(0.1) on random input.
+    assert d <= 2e-3, f"banded NetC inexact at level {i+1}: {d}"
 
 for name, fn in (("plain", netc_plain), ("banded", netc_banded)):
     t = chained_time(fn, (x,))

@@ -25,3 +25,14 @@ echo "R4G APPENDED-2 DONE"
 timeout -k 15 2400 python -u work/prof_train_ablate.py > work/train_ablate_packed.log 2>&1
 date
 echo "R4G APPENDED-3 DONE"
+timeout -k 15 2400 python -u work/prof_copts.py v2 4 rwb_fusion_off,rwb_off_vmem64M > work/copts_v2_combo.log 2>&1
+timeout -k 15 3000 python -u work/prof_copts.py v1 4 baseline,rwb_fusion_off,vmem64M,rwb_off_vmem64M > work/copts_v1_rwb.log 2>&1
+date
+echo "R4G APPENDED-4 DONE"
+timeout -k 15 1800 python -u work/prof_netc_alone.py 4 1024 > work/netc_alone2.log 2>&1
+date
+echo "R4G APPENDED-5 DONE"
+timeout -k 15 2400 python -u work/prof_trace_model.py 1 4 1024 3 > work/trace_v1.log 2>&1
+timeout -k 15 2400 python -u work/prof_trace_model.py 2 4 1024 3 > work/trace_v2.log 2>&1
+date
+echo "R4G APPENDED-6 DONE"
