@@ -36,3 +36,8 @@ timeout -k 15 2400 python -u work/prof_trace_model.py 1 4 1024 3 > work/trace_v1
 timeout -k 15 2400 python -u work/prof_trace_model.py 2 4 1024 3 > work/trace_v2.log 2>&1
 date
 echo "R4G APPENDED-6 DONE"
+timeout -k 15 2400 python -u work/prof_trace_train.py > work/trace_train.log 2>&1
+PIV_TPU_TESTS=1 timeout -k 15 3600 python -m pytest tests -m tpu -q > work/pytest_tpu_r4g.log 2>&1
+timeout -k 15 3600 python -u bench.py > work/bench_r4g.log 2>&1
+date
+echo "R4G APPENDED-7 DONE"
