@@ -47,3 +47,6 @@ echo "R4G APPENDED-8 DONE"
 timeout -k 15 1800 python -u work/prof_hlo_map.py 2 4 1024 fusion.17,fusion.142,fusion.137,fusion.73,fusion.72,fusion.16,fusion.15,copy.3545,copy.3514,copy.3544,copy.3513,pad_maximum_fusion.3 > work/hlo_map_v2.log 2>&1
 date
 echo "R4G APPENDED-9 DONE"
+timeout -k 15 2400 python -u work/prof_gather2d.py 4 1024 64 > work/gather2d.log 2>&1
+date
+echo "R4G APPENDED-10 DONE"
