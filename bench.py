@@ -37,7 +37,10 @@ import time
 
 BASELINE_PAIRS_PER_SEC = 200.0
 METRIC = "1024^2 PIV pairs/sec/chip"
-PROBE_TIMEOUT_S = int(os.environ.get("PIV_BENCH_PROBE_TIMEOUT", "180"))
+# r4g measured: backend init alone can take ~105 s when the terminal has
+# been busy for hours, and the probe's tiny remote compile adds 30-90 s —
+# a 180 s box produced a FALSE backend_unavailable (work/bench_r4g.log).
+PROBE_TIMEOUT_S = int(os.environ.get("PIV_BENCH_PROBE_TIMEOUT", "420"))
 # First fresh 1024^2 compile through the relay takes 2-6 min (work/OPS.md);
 # the persistent compilation cache makes repeats much cheaper.
 CONFIG_TIMEOUT_S = int(os.environ.get("PIV_BENCH_CONFIG_TIMEOUT", "900"))
@@ -139,6 +142,12 @@ def main() -> None:
         rc, out = 1, "[simulated outage: PIV_BENCH_ASSUME_DOWN]"
     else:
         rc, out = _run_boxed(["--probe"], PROBE_TIMEOUT_S)
+        if rc != 0 or "PROBE_OK" not in out:
+            # one retry: a slow-but-alive tunnel (init ~105 s measured under
+            # load) must not be recorded as an outage
+            print(f"probe attempt 1 failed (rc={rc}), retrying once",
+                  file=sys.stderr, flush=True)
+            rc, out = _run_boxed(["--probe"], PROBE_TIMEOUT_S)
     if rc != 0 or "PROBE_OK" not in out:
         print(f"backend probe failed (rc={rc}): {out.splitlines()[-1] if out else ''}",
               file=sys.stderr, flush=True)

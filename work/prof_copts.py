@@ -45,6 +45,12 @@ CANDIDATES = {
     # r4g: rwb_fusion_off measured +2.5% on v2 (38.9 vs 39.9) — combo probes
     "rwb_off_vmem64M": {"xla_tpu_rwb_fusion": False,
                         "xla_tpu_scoped_vmem_limit_kib": 65536},
+    # r4g trace study: the in-model "conv scheduling loss" is relayout copies
+    # around XLA's own space-to-batch conv conversion (hlo_map_v1/v2.log) —
+    # flag names recovered from libtpu.so strings, remotely validated
+    "s2b_off": {"xla_tpu_run_space_to_batch": False},
+    "s2b_dots": {"xla_tpu_run_space_to_batch_allow_dots": True},
+    "s2b_after_spmd": {"xla_tpu_run_space_to_batch_after_spmd": True},
 }
 
 
