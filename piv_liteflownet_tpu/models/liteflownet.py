@@ -41,6 +41,7 @@ def _bar(x):
 from piv_liteflownet_tpu.ops.correlation import correlation
 from piv_liteflownet_tpu.ops.nn import (
     conv2d,
+    conv2d_shift_smallcout,
     depthwise_deconv4x2,
     leaky_relu,
     torch_conv_init,
@@ -94,12 +95,14 @@ class ModelConfig:
     # b2 @1024^2) — opt-in until the banding is fused into producers.
     conv_bands: bool = False
     # NetE-R occlusion-norm path ("auto" | "gather" | "pallas"):
-    #  - "auto" (DEFAULT): TIERED fused planar Pallas warp+norm kernel
-    #    (ops/pallas_rgb_warp.py): the narrowest tent whose exactness bounds
-    #    hold on the actual flow runs — tier 1 (r=4, lim=8) covers benign
-    #    flows, tier 2 (r=11, lim=13) the steep trained-model regime
-    #    (work/guard_resid.log), exact gather beyond that — so exactness is
-    #    guaranteed at every tier. The warped rgb never touches HBM.
+    #  - "auto" (DEFAULT): guarded fused planar Pallas warp+norm kernel
+    #    (ops/pallas_rgb_warp.py): the (r=4, lim=8) tent runs when its
+    #    exactness bounds hold on the actual flow (the whole measured benign
+    #    PIV regime, work/guard_resid.log), exact gather beyond that — so
+    #    the result is exact at every tier. A wider steep-flow tier was
+    #    measured and REVERTED: its unrolled body exceeds the 16M Mosaic
+    #    scoped-VMEM stack limit (BASELINE.md r4). The warped rgb never
+    #    touches HBM.
     #    Measured r3 (single tier r=3): kernel 1.27 vs gather 10.2 ms/pair
     #    standalone @1024^2; in-model v1 b2 144.2 -> 132.0 ms/pair. Falls
     #    back to "gather" automatically on CPU backends (no Mosaic lowering).
@@ -133,6 +136,18 @@ class ModelConfig:
     # a sharded batch axis would insert resharding collectives); "on"/"off"
     # force it.
     netc_joint: str = "auto"
+    # M/S flow-delta head ("auto" | "direct" | "shift"): the k>=5, cout=2
+    # last convs re-read their input once per window tap under XLA's conv
+    # fusion (2-lane output window). "shift" reformulates them as a 1x1 conv
+    # to k*k*2 channels + tap shift-sum (ops/nn.py, conv2d_shift_smallcout;
+    # 47.2 -> 16.1 ms/batch standalone at b4 1024^2 c32 k7,
+    # work/lastconv.log). IN-MODEL it LOSES: 146.7 vs 129.3 ms/pair v1 b4
+    # 1024^2 (work/lastconv_v1.log) — the k*k*2-channel intermediate
+    # materializes through ~800 MB layout copies XLA fuses away for the
+    # direct head (work/copy_census_v1.log: [B,H,W,98] {2,0,3,1} copies).
+    # "auto" therefore resolves to "direct"; "shift" stays opt-in with this
+    # record. Equals "direct" up to f32 summation order (tests/test_lastconv.py).
+    lastconv_impl: str = "auto"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
@@ -384,6 +399,16 @@ def _c(p: Params, name: str, x, stride=1, padding=0, precision=None):
     return conv2d(x, p[f"{name}.weight"], p[f"{name}.bias"], stride, padding, precision)
 
 
+def _c_head(p: Params, name: str, x, level, cfg, precision=None):
+    """The k x k -> 2ch flow-delta head of an M/S stack (see
+    ``ModelConfig.lastconv_impl``)."""
+    w = p[f"{name}.weight"]
+    if cfg.lastconv_impl == "shift":
+        return conv2d_shift_smallcout(x, w, p[f"{name}.bias"], PLAST[level],
+                                      precision)
+    return conv2d(x, w, p[f"{name}.bias"], 1, PLAST[level], precision)
+
+
 def _cl_split(p: Params, name: str, parts, padding, precision=None):
     """conv+LeakyReLU over a channel-concat, as a SUM of per-part convs.
 
@@ -486,7 +511,7 @@ def _matching(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
         x = _space_to_batch(x, k, halo)
     for ci in range(n_convs - 1):
         x = _cl(p, f"{pfx}.conv_M.{2 * ci}", x, 1, 1, precision)
-    x = _c(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    x = _c_head(p, f"{pfx}.conv_M.{2 * (n_convs - 1)}", x, level, cfg, precision)
     if k > 1:
         x = _batch_to_space(x, k, halo)
     return x + flow if flow is not None else x
@@ -512,7 +537,7 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
         x = _cl_split(p, f"{pfx}.conv_S.0", parts, 1, precision)
         for ci in range(1, n_convs - 1):
             x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
-        x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+        x = _c_head(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, level, cfg, precision)
         return _batch_to_space(x, k, halo) + flow
     from piv_liteflownet_tpu.parallel.ctx import get_spatial_ctx
 
@@ -546,7 +571,7 @@ def _subpixel(p, pfx, cfg, level, f1, f2, flow, precision, f2p=None):
     x = _cl_split(p, f"{pfx}.conv_S.0", parts, 1, precision)
     for ci in range(1, n_convs - 1):
         x = _cl(p, f"{pfx}.conv_S.{2 * ci}", x, 1, 1, precision)
-    x = _c(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, 1, PLAST[level], precision)
+    x = _c_head(p, f"{pfx}.conv_S.{2 * (n_convs - 1)}", x, level, cfg, precision)
     if k > 1:
         x = _batch_to_space(x, k, halo)
     return x + flow

@@ -56,6 +56,50 @@ def conv2d(
     return out
 
 
+def conv2d_shift_smallcout(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    padding: int = 0,
+    precision=None,
+) -> jax.Array:
+    """``conv2d`` for tiny output widths, as 1x1-conv + tap shift-sum.
+
+    A k*k conv with cout=2 (the M/S flow-delta heads, reference
+    ``src/models.py:154-163,209-217``) is pathological on the MXU: the output
+    window is 2 lanes, so XLA's conv fusion re-reads the full input once per
+    window tap — measured 18.4 ms/batch EACH for the two L1 k7 heads at
+    b4 1024^2 (~13 GB of HBM traffic; work/trace_v1.log fusion.120/125).
+
+    Reformulation: one 1x1 conv to k*k*cout channels (input read ONCE, the
+    GEMM runs 98/128 lanes wide), then a shift-sum of the k*k tap planes
+    (bandwidth-bound, f32 accumulation). Measured 47.2 -> 16.1 ms/batch
+    standalone (work/lastconv.log). Equals ``conv2d`` up to summation order.
+
+    Training bonus: the backward also avoids the tiny-N/tiny-K convs the
+    direct head differentiates into (grad_x through a cin=2 k7 conv).
+    Stride-1 only.
+    """
+    kh, kw, cin, cout = w.shape
+    bsz, h, win, _ = x.shape
+    # w1[0,0,c,(dy*kw+dx)*cout+o] = w[dy,dx,c,o]
+    w1 = jnp.transpose(w, (2, 0, 1, 3)).reshape(1, 1, cin, kh * kw * cout)
+    z = conv2d(x, w1, None, 1, 0, precision)  # [B,H,W,kh*kw*cout]
+    zp = jnp.pad(z, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h_out = h + 2 * padding - kh + 1
+    w_out = win + 2 * padding - kw + 1
+    acc = jnp.zeros((bsz, h_out, w_out, cout), jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            t = dy * kw + dx
+            sl = lax.slice(zp, (0, dy, dx, t * cout),
+                           (bsz, dy + h_out, dx + w_out, (t + 1) * cout))
+            acc = acc + sl.astype(jnp.float32)
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
 def depthwise_deconv4x2(x: jax.Array, w_flipped: jax.Array, precision=None) -> jax.Array:
     """Depthwise ``ConvTranspose2d(C, C, kernel=4, stride=2, padding=1, groups=C)``.
 

@@ -198,3 +198,22 @@ def test_gather_warp_banded_stride2():
     want = _space_to_batch(gather_warp(packed, h, w, flow, 2), k, halo)
     got = gather_warp_banded(packed, h, w, flow, starts, bh2, 2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("k,cin,cout", [(7, 32, 2), (5, 32, 2), (3, 8, 2)])
+def test_conv2d_shift_smallcout_matches_direct(k, cin, cout):
+    """The 1x1+shift-sum flow-head reformulation (ModelConfig.lastconv_impl)
+    equals the direct conv up to f32 summation order."""
+    from piv_liteflownet_tpu.ops.nn import conv2d_shift_smallcout
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 24, 20, cin), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, k, cin, cout),
+                          jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (cout,), jnp.float32)
+    pad = (k - 1) // 2
+    ref = conv2d(x, w, b, 1, pad)
+    got = conv2d_shift_smallcout(x, w, b, pad)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
