@@ -44,6 +44,7 @@ from piv_liteflownet_tpu.ops.nn import (
     conv2d_shift_smallcout,
     depthwise_deconv4x2,
     leaky_relu,
+    netc_head_parity,
     torch_conv_init,
     unfold_nhwc,
 )
@@ -148,6 +149,16 @@ class ModelConfig:
     # "auto" therefore resolves to "direct"; "shift" stays opt-in with this
     # record. Equals "direct" up to f32 summation order (tests/test_lastconv.py).
     lastconv_impl: str = "auto"
+    # NetC L1→L2 head ("auto" | "direct" | "parity"): "parity" runs the
+    # 7x7-cin3 conv1 + stride-2 conv2.0 composite in parity (space-to-depth)
+    # space — four 4x4 convs at 2.3x the MXU K-utilization emitting half-res
+    # parity planes, then a 1x1+1x2+2x1+2x2 split of conv2.0 — without ever
+    # materializing the full-res conv1 output that XLA's space-to-batch
+    # banding relayouts around (~10.5 ms/exec of copies, work/hlo_map_v2.log).
+    # Only valid when the decoder never consumes L1 features
+    # (lowest_level >= 2, i.e. v2) on even H/W; exact up to f32 summation
+    # order (ops/nn.netc_head_parity, tests/test_netc_head.py).
+    netc_head: str = "auto"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
@@ -429,10 +440,20 @@ def _cl_split(p: Params, name: str, parts, padding, precision=None):
     return leaky_relu(out + p[f"{name}.bias"])
 
 
-def _netc(p: Params, x, precision) -> List[jax.Array]:
-    """NetC 6-level feature pyramid (reference src/models.py:66-116)."""
-    l1 = _cl(p, "NetC.conv1.0", x, 1, 3, precision)
-    l2 = _cl(p, "NetC.conv2.0", l1, 2, 1, precision)
+def _netc(p: Params, x, precision, head_parity: bool = False) -> List[jax.Array]:
+    """NetC 6-level feature pyramid (reference src/models.py:66-116).
+
+    ``head_parity`` (see ``ModelConfig.netc_head``) computes the L1→L2 head
+    in parity space and returns ``None`` at the L1 slot — callers must not
+    consume it (guaranteed by the ``lowest_level >= 2`` gate)."""
+    if head_parity:
+        l1 = None
+        l2 = netc_head_parity(
+            x, p["NetC.conv1.0.weight"], p["NetC.conv1.0.bias"],
+            p["NetC.conv2.0.weight"], p["NetC.conv2.0.bias"], precision)
+    else:
+        l1 = _cl(p, "NetC.conv1.0", x, 1, 3, precision)
+        l2 = _cl(p, "NetC.conv2.0", l1, 2, 1, precision)
     l2 = _cl(p, "NetC.conv2.2", l2, 1, 1, precision)
     l2 = _cl(p, "NetC.conv2.4", l2, 1, 1, precision)
     l3 = _cl(p, "NetC.conv3.0", l2, 2, 1, precision)
@@ -702,13 +723,22 @@ def forward(
     # serialization around the joint call outweigh the batched-conv gain.
     # "on" stays available (exact; test_netc_joint.py).
     netc_joint = cfg.netc_joint == "on"
+    # Parity NetC head: only when the decoder never reads L1 features and
+    # the frame parities are well-defined ("auto" stays direct until the
+    # in-model adjudication lands — see ModelConfig.netc_head).
+    head_parity = (
+        cfg.netc_head == "parity"
+        and cfg.lowest_level >= 2
+        and x1.shape[1] % 2 == 0 and x1.shape[2] % 2 == 0
+    )
     if netc_joint:
-        feats = _netc(params, jnp.concatenate([x1, x2], axis=0), precision)
-        feat1 = [f[:batch] for f in feats]
-        feat2 = [f[batch:] for f in feats]
+        feats = _netc(params, jnp.concatenate([x1, x2], axis=0), precision,
+                      head_parity)
+        feat1 = [f[:batch] if f is not None else None for f in feats]
+        feat2 = [f[batch:] if f is not None else None for f in feats]
     else:
-        feat1 = _netc(params, x1, precision)
-        feat2 = _netc(params, x2, precision)
+        feat1 = _netc(params, x1, precision, head_parity)
+        feat2 = _netc(params, x2, precision, head_parity)
 
     # Image pyramid at feature resolutions (list index = actual level - 1).
     if netc_joint:  # one 2B-batch resize chain (exact, like NetC above)

@@ -100,6 +100,87 @@ def conv2d_shift_smallcout(
     return acc.astype(x.dtype)
 
 
+def netc_head_parity(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: Optional[jax.Array],
+    w2: jax.Array,
+    b2: Optional[jax.Array],
+    precision=None,
+) -> jax.Array:
+    """``lrelu(conv_3x3_s2(lrelu(conv_7x7_s1(x))))`` — the NetC L1→L2 head
+    (reference ``src/models.py:70-76``) — parity-decomposed so the full-res
+    intermediate is never materialized.
+
+    Motivation (v2 trace, work/trace_v2.log + hlo_map_v2.log): the cin=3
+    7x7 conv runs at ~5% MXU rate (K = 3·7 = 21 of 128 packed lanes) and its
+    full-res output round-trips HBM into XLA's space-to-batch banding with
+    ~10.5 ms/exec of relayout copies. When the decoder starts at L2
+    (``lowest_level>=2``, i.e. LiteFlowNet2), that intermediate has no other
+    consumer, so the composite can run in parity space:
+
+    - space-to-depth the input 2x2 → [B,H/2,W/2,4·cin];
+    - conv1 splits into FOUR 4x4 convs (one per output-pixel parity class),
+      K = 12·4 = 48 packed lanes (2.3x the MXU utilization), each directly
+      emitting a half-res parity plane of lrelu(conv1);
+    - the stride-2 3x3 conv2 splits into a 1x1 + 1x2 + 2x1 + 2x2 conv over
+      those parity planes (its taps hit each parity class disjointly), summed.
+
+    Exact up to f32 summation order. Stride/padding are fixed to the NetC
+    head's (s1 p3 k7, then s2 p1 k3); H and W must be even.
+    """
+    import numpy as np
+
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = w1.shape
+    assert kh == 7 and kw == 7 and h % 2 == 0 and w % 2 == 0
+    xd = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+    xd = xd.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+
+    d = np.arange(7)
+
+    def parity_maps(p):
+        s = p + d - 3
+        e = s // 2
+        return e - (p - 2), s - 2 * e  # kernel row 0..3, source parity 0/1
+
+    DY, DX, C = np.meshgrid(d, d, np.arange(cin), indexing="ij")
+    planes = {}
+    for py in (0, 1):
+        ky, qy = parity_maps(py)
+        for px in (0, 1):
+            kx, qx = parity_maps(px)
+            wt = jnp.zeros((4, 4, 4 * cin, cout), w1.dtype)
+            wt = wt.at[ky[DY], kx[DX],
+                       (qy[DY] * 2 + qx[DX]) * cin + C].set(w1[DY, DX, C])
+            o = lax.conv_general_dilated(
+                xd, wt, (1, 1),
+                [(2 - py, 1 + py), (2 - px, 1 + px)],
+                dimension_numbers=DIMNUMS, precision=precision,
+            )
+            if b1 is not None:
+                o = o + b1
+            planes[(py, px)] = leaky_relu(o)
+
+    # stride-2 3x3: row taps dy∈{0,2} read parity-1 rows (offsets -1, 0),
+    # dy=1 reads parity-0 rows (offset 0); likewise columns.
+    def c2(plane, wsub, pad):
+        return lax.conv_general_dilated(
+            plane, wsub, (1, 1), pad, dimension_numbers=DIMNUMS,
+            precision=precision,
+        )
+
+    out = (
+        c2(planes[(0, 0)], w2[1:2, 1:2], [(0, 0), (0, 0)])
+        + c2(planes[(0, 1)], w2[1:2, ::2], [(0, 0), (1, 0)])
+        + c2(planes[(1, 0)], w2[::2, 1:2], [(1, 0), (0, 0)])
+        + c2(planes[(1, 1)], w2[::2, ::2], [(1, 0), (1, 0)])
+    )
+    if b2 is not None:
+        out = out + b2
+    return leaky_relu(out)
+
+
 def depthwise_deconv4x2(x: jax.Array, w_flipped: jax.Array, precision=None) -> jax.Array:
     """Depthwise ``ConvTranspose2d(C, C, kernel=4, stride=2, padding=1, groups=C)``.
 

@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from piv_liteflownet_tpu.ops.pallas_rgb_warp import _tile_mean
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -151,15 +153,18 @@ def feat_warp_pallas(
     u, v = f[..., 0], f[..., 1]
 
     def tile_base(comp, lim):
-        m = lax.reduce_window(
-            comp, 0.0, lax.add, (1, th, 128), (1, th, 128), "VALID"
-        ) / float(th * 128)  # [B, nty, ns]
+        m = _tile_mean(comp, nty, th, ns)  # [B, nty, ns]
         return jnp.clip(jnp.round(m), -float(lim), float(lim)).astype(jnp.int32)
+
+    def tile_resid(comp, base):
+        return (comp.reshape(b, nty, th, ns, 128)
+                - base.astype(jnp.float32)[:, :, None, :, None]
+                ).reshape(b, hp, cw)
 
     bv = tile_base(v, vlim)
     bu = tile_base(u, 126 - rx - 1)
-    rv = v - jnp.repeat(jnp.repeat(bv.astype(jnp.float32), th, 1), 128, 2)
-    ru = u - jnp.repeat(jnp.repeat(bu.astype(jnp.float32), th, 1), 128, 2)
+    rv = tile_resid(v, bv)
+    ru = tile_resid(u, bu)
 
     iy = lax.broadcasted_iota(jnp.int32, (1, nty, 1), 1) * th
     sy_raw = iy + bv + (my - ry)
@@ -207,13 +212,13 @@ def feat_warp_bounds_ok(flow: jax.Array, ry: int = 3, rx: int = 3,
         f = jnp.pad(f, ((0, 0), (0, nty * th - h), (0, cw - w), (0, 0)),
                     mode="edge")
     u, v = f[..., 0], f[..., 1]
+    ns = cw // 128
 
     def resid(comp, lim):
-        m = lax.reduce_window(
-            comp, 0.0, lax.add, (1, th, 128), (1, th, 128), "VALID"
-        ) / float(th * 128)
+        m = _tile_mean(comp, nty, th, ns)
         base = jnp.clip(jnp.round(m), -float(lim), float(lim))
-        return jnp.max(jnp.abs(comp - jnp.repeat(jnp.repeat(base, th, 1), 128, 2)))
+        return jnp.max(jnp.abs(comp.reshape(b, nty, th, ns, 128)
+                               - base[:, :, None, :, None]))
 
     return (resid(v, vlim) <= float(ry)) & (resid(u, 126 - rx - 1) <= float(rx))
 

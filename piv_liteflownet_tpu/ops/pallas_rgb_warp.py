@@ -40,6 +40,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _tile_mean(comp: jax.Array, nty: int, th: int, ns: int) -> jax.Array:
+    """Per-(th x 128)-tile mean of a [B, nty*th, ns*128] component as a
+    reshape-reduce: [B, nty, ns]. Replaces ``lax.reduce_window`` (same
+    values), whose TPU lowering is several times slower than a plain reduce
+    over reshaped minor dims — this runs in the critical path of every
+    pyramid level's guard (measured ~3.7 ms/pair of guard cost at v1
+    1024^2, work/ROUND4_NOTES.md)."""
+    b = comp.shape[0]
+    return comp.reshape(b, nty, th, ns, 128).mean(axis=(2, 4))
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -150,9 +161,7 @@ def rgb_warp_norm_pallas(
                     mode="edge")
     u, v = f[..., 0], f[..., 1]
     # per-(th x 128)-tile y base
-    vmean = lax.reduce_window(
-        v, 0.0, lax.add, (1, th, 128), (1, th, 128), "VALID"
-    ) / float(th * 128)  # [B, nty, ns]
+    vmean = _tile_mean(v, nty, th, ns)  # [B, nty, ns]
     bv = jnp.clip(jnp.round(vmean), -float(lim), float(lim)).astype(jnp.int32)
 
     iy = lax.broadcasted_iota(jnp.int32, (1, nty, 1), 1) * th
@@ -160,7 +169,8 @@ def rgb_warp_norm_pallas(
     sy = (sy_raw // 8) * 8
     phase = (sy_raw - sy).astype(jnp.float32)  # 0..7
     corr = phase - bv.astype(jnp.float32)      # [B, nty, ns]
-    rv = v + jnp.repeat(jnp.repeat(corr, th, axis=1), 128, axis=2)
+    rv = (v.reshape(b, nty, th, ns, 128)
+          + corr[:, :, None, :, None]).reshape(b, hp_rows, cw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -204,11 +214,10 @@ def rgb_norm_bounds_ok(flow: jax.Array, r: int = 3, lim: int = 8,
         f = jnp.pad(f, ((0, 0), (0, nty * th - h), (0, cw - w), (0, 0)),
                     mode="edge")
     u, v = f[..., 0], f[..., 1]
-    vmean = lax.reduce_window(
-        v, 0.0, lax.add, (1, th, 128), (1, th, 128), "VALID"
-    ) / float(th * 128)
+    ns = cw // 128
+    vmean = _tile_mean(v, nty, th, ns)
     bv = jnp.clip(jnp.round(vmean), -float(lim), float(lim))
-    rv = v - jnp.repeat(jnp.repeat(bv, th, axis=1), 128, axis=2)
+    rv = v.reshape(b, nty, th, ns, 128) - bv[:, :, None, :, None]
     return (jnp.max(jnp.abs(u)) <= float(lim)) & (jnp.max(jnp.abs(rv)) <= float(r))
 
 

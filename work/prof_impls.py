@@ -44,6 +44,27 @@ CONFIGS = [
     dict(rgb_norm="gather"),                            # kernel value re-check (r4)
 ]
 
+# cheap-guard battery (r4k: reshape-reduce tile stats replacing
+# reduce_window+repeat in the guards + kernel prep): re-measure the default
+# (guarded rgb kernel) and the guarded tent, whose r4g verdict "guard costs
+# 3.7 ms vs 1.1 ms kernel win" was taken under the expensive guard.
+if len(sys.argv) > 4 and sys.argv[4] == "guard":
+    CONFIGS = [
+        dict(),                          # default: rgb_norm=auto guard in path
+        dict(warp_impl="tent"),          # guarded tent re-adjudication
+        dict(warp_impl="tent!"),         # unguarded reference point
+        dict(rgb_norm="gather"),         # no-kernel reference point
+    ]
+
+# parity NetC head (r4k: ops/nn.netc_head_parity — v2-only, see
+# ModelConfig.netc_head)
+if len(sys.argv) > 4 and sys.argv[4] == "head":
+    CONFIGS = [
+        dict(),
+        dict(netc_head="parity"),
+        dict(netc_head="parity", warp_impl="tent"),
+    ]
+
 for over in CONFIGS:
     cfg = dataclasses.replace(model.cfg, **over)
 
