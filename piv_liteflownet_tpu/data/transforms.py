@@ -71,6 +71,14 @@ class Pipeline:
     # Normalize(mean, std) as the final stage (reference :405-435)
     normalize_mean: Optional[Tuple[float, ...]] = None
     normalize_std: Optional[Tuple[float, ...]] = None
+    # resample engine: "auto" uses the separable two-matmul path whenever the
+    # geometry has no rotation (scale/translate/flip/crop factor into
+    # per-axis 1-D maps, so bilinear = row-interp x col-interp on the MXU —
+    # the train-step bill puts the fused aug gather at ~7.7 ms/step b8 256^2,
+    # work/train_bill.log, vs ~0.1 ms of matmuls); "gather" forces the
+    # packed-tap gather (rotation always uses it). Both are the same bilinear
+    # taps/weights, equal up to f32 summation order.
+    resample: str = "auto"
 
 
 def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
@@ -115,6 +123,39 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
         + taps[..., 3, :] * w11
     )
     if oob is not None:
+        out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)
+    return out
+
+
+def _interp_matrix(coord: jax.Array, size: int) -> jax.Array:
+    """Dense 1-D bilinear-interpolation matrix M [n, size] for sample
+    coordinates ``coord`` [n]: ``M @ v`` equals clamped bilinear sampling of a
+    length-``size`` signal at ``coord``. Two nonzeros per row; built as
+    one-hot compares so the resample runs as a matmul on the MXU instead of a
+    descriptor-bound gather (see ``Pipeline.resample``)."""
+    c = jnp.clip(coord, 0.0, size - 1.0)
+    i0 = jnp.floor(c)
+    frac = (c - i0)[:, None]
+    i0 = i0.astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+    # the frac==0 edge (i0 == size-1) keeps the second tap's weight at 0
+    return ((idx == i0[:, None]) * (1.0 - frac)
+            + (idx == jnp.minimum(i0 + 1, size - 1)[:, None]) * frac)
+
+
+def _bilinear_sample_sep(img: jax.Array, x: jax.Array, y: jax.Array,
+                         fill=None) -> jax.Array:
+    """Separable counterpart of :func:`_bilinear_sample` for axis-aligned
+    maps: ``x`` [wout] varies only along columns, ``y`` [hout] only along
+    rows. Same taps and weights (equal up to f32 summation order)."""
+    h, w = img.shape[0], img.shape[1]
+    my = _interp_matrix(y, h)  # [hout, H]
+    mx = _interp_matrix(x, w)  # [wout, W]
+    tmp = jnp.einsum("ih,hwc->iwc", my, img, precision="highest")
+    out = jnp.einsum("jw,iwc->ijc", mx, tmp, precision="highest")
+    if fill is not None:
+        oob = ((y < -0.5) | (y > h - 0.5))[:, None] | \
+              ((x < -0.5) | (x > w - 0.5))[None, :]
         out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)
     return out
 
@@ -174,15 +215,20 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
     geo = _sample_geometry(kg, pipe, h, w)
     tw, th, s = geo["tw"], geo["th"], geo["s"]
 
-    # output crop grid
-    xo = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
-    yo = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+    # output crop grid — 1-D per axis; the geometry is axis-separable unless
+    # rotation is on, and the separable path feeds the two-matmul resampler
+    sep = (not pipe.rotate) and pipe.resample != "gather"
+    xo = jax.lax.iota(jnp.float32, cw)
+    yo = jax.lax.iota(jnp.float32, ch)
     # flips mirror the output grid (flow components negated below)
     xo = jnp.where(geo["fh"], cw - 1.0 - xo, xo)
     yo = jnp.where(geo["fv"], ch - 1.0 - yo, yo)
     # crop offset, then inverse-scale (half-pixel convention), then rotation
     xs = (xo + geo["ox"] + 0.5) / s - 0.5
     ys = (yo + geo["oy"] + 0.5) / s - 0.5
+    if not sep:
+        xs = jnp.broadcast_to(xs[None, :], (ch, cw))
+        ys = jnp.broadcast_to(ys[:, None], (ch, cw))
     if pipe.rotate:
         rad = geo["ang"] * math.pi / 180.0
         cx = (w - jnp.abs(tw)) / 2.0
@@ -191,6 +237,7 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
         xr = ca * (xs - cx) - sa * (ys - cy) + cx
         yr = sa * (xs - cx) + ca * (ys - cy) + cy
         xs, ys = xr, yr
+    sample = _bilinear_sample_sep if sep else _bilinear_sample
     # translate offsets: img1 window starts at a=(max(0,tw),max(0,th)),
     # img2 at b=(max(0,-tw),max(0,-th))  (reference :158-162)
     ax = jnp.maximum(0.0, tw)
@@ -199,11 +246,11 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
     by = jnp.maximum(0.0, -th)
 
     fill = pipe.pad_fill
-    out2 = _bilinear_sample(img2, xs + bx, ys + by, fill=fill)
+    out2 = sample(img2, xs + bx, ys + by, fill=fill)
 
     new_flow = None
     if flow is None:
-        out1 = _bilinear_sample(img1, xs + ax, ys + ay, fill=fill)
+        out1 = sample(img1, xs + ax, ys + ay, fill=fill)
     else:
         # img1 and the flow share the exact same sample grid (xs+ax, ys+ay),
         # so they ride ONE combined gather (20-wide packed rows instead of
@@ -215,7 +262,7 @@ def _augment_one(key, img1, img2, flow, pipe: Pipeline):
                 np.broadcast_to(np.asarray(fill, np.float32), (img1.shape[-1],)),
                 np.zeros((flow.shape[-1],), np.float32),
             ])
-        comb = _bilinear_sample(
+        comb = sample(
             jnp.concatenate([img1, flow.astype(img1.dtype)], axis=-1),
             xs + ax, ys + ay, fill=fill_c,
         )

@@ -148,6 +148,8 @@ class ModelConfig:
     # direct head (work/copy_census_v1.log: [B,H,W,98] {2,0,3,1} copies).
     # "auto" therefore resolves to "direct"; "shift" stays opt-in with this
     # record. Equals "direct" up to f32 summation order (tests/test_lastconv.py).
+    # "pad" zero-pads cout 2 -> 32 (one MXU-aligned conv, slice the 2 real
+    # lanes; exact) — the cheap middle ground between direct and shift.
     lastconv_impl: str = "auto"
     # NetC L1→L2 head ("auto" | "direct" | "parity"): "parity" runs the
     # 7x7-cin3 conv1 + stride-2 conv2.0 composite in parity (space-to-depth)
@@ -417,6 +419,15 @@ def _c_head(p: Params, name: str, x, level, cfg, precision=None):
     if cfg.lastconv_impl == "shift":
         return conv2d_shift_smallcout(x, w, p[f"{name}.bias"], PLAST[level],
                                       precision)
+    if cfg.lastconv_impl == "pad":
+        # cout 2 -> 32 zero-pad: the head runs as one MXU-aligned conv whose
+        # output keeps a standard layout (no space-to-batch relayout churn),
+        # then the 2 real lanes are sliced. Exact: the padded filters are
+        # zero and their outputs are discarded.
+        cout = w.shape[-1]
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 32 - cout)))
+        out = conv2d(x, wp, None, 1, PLAST[level], precision)[..., :cout]
+        return out + p[f"{name}.bias"]
     return conv2d(x, w, p[f"{name}.bias"], 1, PLAST[level], precision)
 
 

@@ -32,6 +32,19 @@ def test_lastconv_shift_matches_direct_v1_and_v2():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_lastconv_pad_matches_direct_v1_and_v2():
+    """"pad" (cout 2->32 zero-pad + slice) is exact up to conv scheduling."""
+    for version in (1, 2):
+        m = piv_liteflownet(version=version)
+        a, b = _imgs(10 + version)
+        pa = forward(m.params, a, b,
+                     dataclasses.replace(m.cfg, lastconv_impl="pad"))
+        di = forward(m.params, a, b,
+                     dataclasses.replace(m.cfg, lastconv_impl="direct"))
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(di),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_lastconv_shift_matches_direct_train_mode():
     m = piv_liteflownet(version=1)
     a, b = _imgs(3)

@@ -288,7 +288,11 @@ def test_v2_train_step_with_six_weight_loss():
     img1 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
     img2 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
     target = jnp.asarray(rng.standard_normal((2, 64, 64, 2)).astype(np.float32))
-    state = TrainState(model.params, tx.init(model.params), jnp.zeros((), jnp.int32))
+    # fresh copy: the step donates its state, and model.params is reused
+    # below (the flat optimizer's init actually computes on params — a
+    # deleted-buffer error otherwise)
+    p0 = jax.tree.map(jnp.array, model.params)
+    state = TrainState(p0, tx.init(p0), jnp.zeros((), jnp.int32))
     state, metrics = step(state, img1, img2, target, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1

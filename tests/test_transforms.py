@@ -139,3 +139,28 @@ def test_pipeline_blur_and_normalize_fields():
                       normalize_mean=(0.5, 0.5, 0.5), normalize_std=(2.0, 2.0, 2.0))
     n1, _, _ = apply_pipeline(jax.random.PRNGKey(0), *map(jnp.asarray, (img1, img2, flow)), pipe_n)
     np.testing.assert_allclose(np.asarray(n1), (np.asarray(o1) - 0.5) / 2.0, atol=1e-5)
+
+
+def test_separable_resample_matches_gather():
+    """Pipeline.resample="auto" (two-matmul separable path, rotation-free
+    geometry) must reproduce the packed-tap gather path to f32 tolerance,
+    with and without crop-with-padding fill."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(11)
+    img1 = jax.random.uniform(key, (3, 96, 112, 3), jnp.float32)
+    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (3, 96, 112, 3))
+    flow = jax.random.normal(jax.random.fold_in(key, 2), (3, 96, 112, 2)) * 3
+
+    for kw in (
+        dict(crop_size=(64, 80), scale_range=(0.8, 1.3), translate=10,
+             hflip=True, vflip=True),
+        dict(crop_size=(128, 128), pad_fill=(0.2, 0.3, 0.4)),
+    ):
+        pipe = Pipeline(**kw)
+        a = apply_pipeline(jax.random.PRNGKey(7), img1, img2, flow, pipe)
+        b = apply_pipeline(jax.random.PRNGKey(7), img1, img2, flow,
+                           dataclasses.replace(pipe, resample="gather"))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=5e-6)

@@ -65,6 +65,15 @@ if len(sys.argv) > 4 and sys.argv[4] == "head":
         dict(netc_head="parity", warp_impl="tent"),
     ]
 
+# cout-padded flow heads (r4n: lastconv_impl="pad" — one MXU-aligned conv +
+# slice instead of the 2-lane-output window the trace bills at ~2.4 ms/pair
+# v2; unlike "shift" there is no nonstandard-layout intermediate)
+if len(sys.argv) > 4 and sys.argv[4] == "pad":
+    CONFIGS = [
+        dict(),
+        dict(lastconv_impl="pad"),
+    ]
+
 for over in CONFIGS:
     cfg = dataclasses.replace(model.cfg, **over)
 

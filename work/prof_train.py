@@ -5,6 +5,7 @@ Timing: warm 3 steps, then wall-time N pipelined steps ending in a loss
 readback (the 30 ms/dispatch tunnel overhead overlaps 100+ ms steps).
 """
 
+import os
 import sys
 import time
 
@@ -31,6 +32,7 @@ pipe = Pipeline(
     crop_size=(SIZE, SIZE), translate=16, scale_range=(0.95, 1.45),
     hflip=True, vflip=True,
     photometric=Photometric((0.0, 0.04), (-0.8, 0.4), 0.2, (0.5, 2.0), (0.7, 1.5)),
+    resample=os.environ.get("PIV_AUG_RESAMPLE", "auto"),
 )
 
 key = jax.random.PRNGKey(0)

@@ -168,7 +168,8 @@ for n, d in unattr.most_common(12):
     print(f"  {d/1e3/NEXEC:8.2f} ms  {n}", flush=True)
 
 # line-level detail for the top model files
-want = {"liteflownet.py", "nn.py", "warp.py", "transforms.py", "correlation.py"}
+want = {"liteflownet.py", "nn.py", "warp.py", "transforms.py",
+        "correlation.py", "train_step.py", "optim.py", "loss.py"}
 bill2 = collections.Counter()
 SRCL = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
 instr_lines = {}
