@@ -93,6 +93,48 @@ def child_one(version: int, batch: int, dtype_name: str, size: int) -> None:
     print(f"RESULT {batch / t:.6f}", flush=True)
 
 
+def child_train() -> None:
+    """Training-step throughput (reference config: v1, 256^2 crop, b8, Adam
+    4-group, aug in-jit; bf16 compute — the shipping --bf16 path)."""
+    jax = _child_setup()
+    import jax.numpy as jnp
+
+    from piv_liteflownet_tpu.data.transforms import Photometric, Pipeline
+    from piv_liteflownet_tpu.models.factory import piv_liteflownet
+    from piv_liteflownet_tpu.parallel.train_step import TrainState, make_train_step
+    from piv_liteflownet_tpu.training.loss import piv_loss
+    from piv_liteflownet_tpu.training.optim import make_optimizer
+
+    SIZE, BATCH, N = 256, 8, 30
+    model = piv_liteflownet(version=1)
+    tx, _ = make_optimizer(model.params, model.cfg.lowest_level)
+    pipe = Pipeline(
+        crop_size=(SIZE, SIZE), translate=16, scale_range=(0.95, 1.45),
+        hflip=True, vflip=True,
+        photometric=Photometric((0.0, 0.04), (-0.8, 0.4), 0.2, (0.5, 2.0),
+                                (0.7, 1.5)),
+    )
+    step = make_train_step(model.cfg, piv_loss(version=1), tx,
+                           pipeline=pipe, compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    H = W = int(SIZE * 1.5)
+    img1 = jax.random.uniform(key, (BATCH, H, W, 3), jnp.float32)
+    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, H, W, 3),
+                              jnp.float32)
+    target = jax.random.normal(jax.random.fold_in(key, 2), (BATCH, H, W, 2),
+                               jnp.float32)
+    p0 = jax.tree.map(jnp.array, model.params)
+    state = TrainState(p0, tx.init(p0), jnp.zeros((), jnp.int32))
+    for i in range(3):
+        state, m = step(state, img1, img2, target, jax.random.PRNGKey(i))
+    float(m["loss"])
+    t0 = time.time()
+    for i in range(N):
+        state, m = step(state, img1, img2, target, jax.random.PRNGKey(100 + i))
+    float(m["loss"])
+    print(f"RESULT {BATCH / ((time.time() - t0) / N):.6f}", flush=True)
+
+
 # ---------------------------------------------------------------------------
 # Orchestrator
 # ---------------------------------------------------------------------------
@@ -199,6 +241,16 @@ def main() -> None:
         if r is not None:
             extras[name] = round(r, 3)
 
+    # Training throughput (reference hot loop, trainer.py --bf16 path)
+    if budget_left() >= 120:
+        rc, out = _run_boxed(["--train"], min(CONFIG_TIMEOUT_S, int(budget_left())))
+        for line in reversed(out.splitlines()):
+            if line.startswith("RESULT "):
+                extras["train_samples_per_sec"] = round(float(line.split()[1]), 2)
+                break
+        else:
+            print(f"bench train failed (rc={rc})", file=sys.stderr, flush=True)
+
     # The 200 pairs/s north star is a v2-backbone x N-chips plan (BASELINE.md):
     # inference DP has zero cross-chip communication (params replicated, batch
     # sharded — parallel/, run.py --num_devices), so aggregate throughput is
@@ -219,6 +271,8 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         child_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--train":
+        child_train()
     elif len(sys.argv) > 1 and sys.argv[1] == "--one":
         child_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
     else:

@@ -171,6 +171,11 @@ def _group(optimizer: str, lr: float, wd: float, **kw):
 
     def make(lr):
         inner, decoupled = factory(**kw)
+        # PIV_FLAT_OPT=2: flatten ONLY the moment math — weight decay (which
+        # reads params) stays per-leaf, so params never enter the raveled
+        # domain (probe for the flatten layout regression, see below).
+        if os.environ.get("PIV_FLAT_OPT", "0") == "2":
+            inner = optax.flatten(inner)
         if decoupled:
             # AdamW-style: update = -lr * (direction + wd * p)
             return optax.chain(
@@ -185,16 +190,19 @@ def _group(optimizer: str, lr: float, wd: float, **kw):
             optax.scale(-lr),
         )
 
-    # optax.flatten: run the group's moment/update math on ONE raveled vector
-    # instead of ~100 per-leaf ops x 4 pipeline stages. The train-step device
-    # bill (work/train_bill.log) attributes ~8.7 ms/step to optax's per-leaf
-    # kernels at 256^2 b8 — pure launch overhead on a 5.4M-param model.
-    # Updates are bit-identical (same math, contiguous layout); the
-    # InjectHyperparamsState stays the outer state, so set_group_lrs and
-    # checkpointing paths are unchanged. PIV_FLAT_OPT=0 restores per-leaf
-    # updates (A/B knob for the perf record).
+    # optax.flatten (opt-in, PIV_FLAT_OPT=1): run the group's moment/update
+    # math on ONE raveled vector instead of ~100 per-leaf ops x 4 pipeline
+    # stages. The train-step device bill attributes ~8.7 ms/step to optax's
+    # per-leaf kernels at 256^2 b8 (work/train_bill.log), and flattening
+    # removes exactly that (bill2: 0.07 ms) with bit-identical updates — BUT
+    # in-model it REGRESSES the step 151 -> 203 ms/step: the params
+    # reconstructed by reshape-from-flat feed XLA's layout assignment back
+    # into every conv, and nn.py conv time grows 72.7 -> 116.4 ms/step
+    # (work/train_bill2.log vs train_bill.log; A/B work/train_noflat.log vs
+    # train_flat.log). Default therefore stays per-leaf; the knob and the
+    # record stay for round 5 (a layout-pinning fix would recover the 8.7).
     tx = optax.inject_hyperparams(lambda lr: make(lr))(lr=lr)
-    if os.environ.get("PIV_FLAT_OPT", "1") != "0":
+    if os.environ.get("PIV_FLAT_OPT", "0") == "1":
         tx = optax.flatten(tx)
     return tx
 

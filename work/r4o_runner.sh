@@ -8,3 +8,5 @@ PIV_FLAT_OPT=1 timeout -k 15 1800 python -u work/prof_train.py bf16 > work/train
 date; echo "R4O FLAT DONE"
 PIV_FLAT_OPT=1 PIV_AUG_RESAMPLE=gather timeout -k 15 1800 python -u work/prof_train.py bf16 > work/train_flat_gatheraug.log 2>&1
 date; echo "R4O FLAT+GATHERAUG DONE"
+PIV_FLAT_OPT=2 timeout -k 15 1800 python -u work/prof_train.py bf16 > work/train_flat2.log 2>&1
+date; echo "R4O FLAT2 DONE"
