@@ -21,6 +21,10 @@ if os.environ.get("PIV_TPU_TESTS", "") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Own cache dir: concurrent writes to the shared default cache from a
+    # TPU probe battery segfault inside put_executable_and_time (zstd) —
+    # seen twice (work/pytest_r4e.log, work/pytest_r4o.log; work/OPS.md).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tests")
 # PIV_TPU_TESTS=1 keeps the real backend so `-m tpu`-marked tests exercise
 # Mosaic lowering on hardware (run on the bench chip):
 #   PIV_TPU_TESTS=1 python -m pytest tests -m tpu
