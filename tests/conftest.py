@@ -21,10 +21,13 @@ if os.environ.get("PIV_TPU_TESTS", "") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # Own cache dir: concurrent writes to the shared default cache from a
-    # TPU probe battery segfault inside put_executable_and_time (zstd) —
-    # seen twice (work/pytest_r4e.log, work/pytest_r4o.log; work/OPS.md).
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tests")
+    # No compilation cache for the CPU suite: writing the serialized
+    # 8-device GSPMD executable of test_estimate_spatial_mesh_matches_plain
+    # segfaults inside put_executable_and_time (zstd) REPRODUCIBLY — with
+    # the shared cache dir (work/pytest_r4e.log) and with a private one
+    # (work/pytest_r4o.log). The suite never re-reads the cache anyway
+    # (fresh trace-through every run).
+    jax.config.update("jax_enable_compilation_cache", False)
 # PIV_TPU_TESTS=1 keeps the real backend so `-m tpu`-marked tests exercise
 # Mosaic lowering on hardware (run on the bench chip):
 #   PIV_TPU_TESTS=1 python -m pytest tests -m tpu
