@@ -37,3 +37,25 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: on-device Pallas tests (need a real TPU; PIV_TPU_TESTS=1)"
     )
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    On this host (post-restart environment) the long single-process suite
+    segfaults inside XLA:CPU compile/execute once enough compiled programs
+    have accumulated — at ~85% suite position, in whichever test compiles
+    next (test_spatial in work/pytest_r4o.log, test_training's trainer run
+    in work/pytest_r4final.log); every affected test passes in isolation.
+    Dropping jax's executable caches between modules caps the growth."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

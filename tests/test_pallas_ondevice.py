@@ -83,5 +83,11 @@ def test_planar_feat_warp_on_device(dtype):
     assert bool(feat_warp_bounds_ok(flow))
     got = np.asarray(feat_warp_pallas(img, flow).astype(jnp.float32))
     ref = np.asarray(backwarp(img.astype(dtype), flow).astype(jnp.float32))
-    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    # f32: the tent recomputes the bilinear weights from the f32 residual
+    # rv = v - round(tile_mean(v)), so each weight carries ~|flow|*eps of
+    # rounding the gather's (1-wx)(1-wy) form doesn't (|u|~33 here) —
+    # device-measured worst deviation 1.6e-5 abs / 9e-4 rel
+    # (work/pytest_tpu_r4r.log); this is summation-order noise, not a tap
+    # error (those would be O(pixel value) = O(1)).
+    tol = 5e-5 if dtype == jnp.float32 else 3e-2
     np.testing.assert_allclose(got, ref, atol=tol)

@@ -2,6 +2,8 @@
 and the halo-exchange warp must keep the warp local (no all-gather of the
 warped operand) with per-device memory ~1/N."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -82,7 +84,28 @@ def test_halo_warp_keeps_warp_local():
 def test_estimate_spatial_mesh_matches_plain():
     """estimate(spatial_mesh=...) must match the plain estimate() exactly when
     the /32-resized H already splits evenly (the reference resize contract is
-    preserved), and handle odd sizes by raising the resize multiple."""
+    preserved), and handle odd sizes by raising the resize multiple.
+
+    Runs in a FRESH subprocess: compiling the 4-device GSPMD executable
+    segfaults XLA:CPU when the long-running suite process's RSS is already
+    high (reproducibly at suite position ~85%, never in isolation —
+    work/pytest_r4e.log, work/pytest_r4o.log; post-host-restart environment
+    only, with or without the compilation cache). The subprocess keeps the
+    coverage identical and the suite green.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("PIV_SPATIAL_SUBPROC") != "1":
+        env = dict(os.environ, PIV_SPATIAL_SUBPROC="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q",
+             f"{__file__}::test_estimate_spatial_mesh_matches_plain"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, (r.stdout[-2000:] + r.stderr[-1000:])
+        return
+
     from piv_liteflownet_tpu.inference import estimate
 
     model = piv_liteflownet(version=1)
