@@ -94,6 +94,81 @@ def child_one(version: int, batch: int, dtype_name: str, size: int) -> None:
     print(f"RESULT {batch / t:.6f}", flush=True)
 
 
+def child_steep() -> None:
+    """The guarded-fallback operating point (VERDICT r4 weak #2): the trained
+    v1 model driven by a steep/turbulent flow field that trips the rgb/feat
+    exactness guards, so the machine record shows BOTH regimes — the benign
+    headline (tent tiers) and the exact-gather fallback (-15-18% measured,
+    BASELINE.md r4 guard tables). Uses the round-3 trained weights
+    (work/synth_run/params_final.npz, tracked) + on-device synthetic particle
+    pairs advected by a steep high-frequency sine field (amp 6 px, freq 8 —
+    the 'steep_sine_hf' row of the r4 guard study, work/prof_guard_flows.py)."""
+    jax = _child_setup()
+    import jax.numpy as jnp
+
+    from piv_liteflownet_tpu.data.piv_gen import ParticleImageGen, sine_flow
+    from piv_liteflownet_tpu.models.factory import piv_liteflownet
+    from piv_liteflownet_tpu.models.liteflownet import forward
+    from piv_liteflownet_tpu.utils.benchmark import chained_time
+    from piv_liteflownet_tpu.utils.checkpoint import load_params_npz
+
+    batch, size = 4, 1024
+    model = piv_liteflownet(version=1)
+    params = load_params_npz(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "work/synth_run/params_final.npz"))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    cfg = model.cfg
+
+    gen = ParticleImageGen(image_size=(size, size))
+    field = sine_flow(size, size, amp=6.0, freq=8.0)
+    ks = jax.random.split(jax.random.PRNGKey(3), batch)
+    ims = [gen.generate_pair(k, field) for k in ks]
+    a = jnp.stack([i1 for i1, _ in ims]).astype(jnp.bfloat16)
+    b = jnp.stack([i2 for _, i2 in ims]).astype(jnp.bfloat16)
+
+    t = chained_time(lambda x, y: forward(params, x, y, cfg, train=False),
+                     (a, b))
+    print(f"RESULT {batch / t:.6f}", flush=True)
+
+
+def child_ingest() -> None:
+    """Host-side packed-ingest rate at 1024^2 (VERDICT r5 #3): the .pivseq
+    decode-free feed that backs the multi-chip serving projection. Page-cache
+    warm, threads=4, batch=4 — prints pairs/s/host (1 core on this rig)."""
+    import numpy as np
+
+    from piv_liteflownet_tpu.data.native import NativeSeqLoader, get_lib
+    from piv_liteflownet_tpu.data.pivseq import PivseqRun, write_pivseq
+
+    assert get_lib() is not None, "libpivio build failed"
+    size, n, batch = 1024, 48, 4
+    tmp = "/tmp/bench_ingest.pivseq"
+    if not os.path.isfile(tmp):
+        # write the container directly (u8 mono frames)
+        rng = np.random.default_rng(0)
+        with open(tmp, "wb") as f:
+            f.write(b"PIVSEQ01")
+            f.write(np.asarray([size, size, 1, 0], np.uint32).tobytes())
+            names_off = 40 + size * size * n
+            f.write(np.asarray([n, names_off], np.uint64).tobytes())
+            for i in range(n):
+                f.write(rng.integers(0, 255, (size, size), np.uint8).tobytes())
+            f.write(b"\x00".join(f"f{i:04d}.png".encode()
+                                 for i in range(n)) + b"\x00")
+    ds = PivseqRun(tmp)
+    # warm page cache + loader, then measure
+    for _ in range(2):
+        ld = NativeSeqLoader(ds, batch, threads=4)
+        t0 = time.time()
+        seen = 0
+        for (b1, b2), names in ld:
+            seen += len(names)
+        dt = time.time() - t0
+        ld.close()
+    print(f"RESULT {seen / dt:.6f}", flush=True)
+
+
 def child_train() -> None:
     """Training-step throughput (reference config: v1, 256^2 crop, b8, Adam
     4-group, aug in-jit; bf16 compute — the shipping --bf16 path)."""
@@ -252,6 +327,31 @@ def main() -> None:
         else:
             print(f"bench train failed (rc={rc})", file=sys.stderr, flush=True)
 
+    # Steep-flow operating point: trained weights + guard-tripping field ->
+    # the exact-gather fallback tier (both regimes machine-recorded; the
+    # headline above is the benign/tent regime)
+    if budget_left() >= 120:
+        rc, out = _run_boxed(["--steep"], min(CONFIG_TIMEOUT_S, int(budget_left())))
+        for line in reversed(out.splitlines()):
+            if line.startswith("RESULT "):
+                extras["v1_steep_guarded_fallback_pairs_per_sec"] = round(
+                    float(line.split()[1]), 3)
+                break
+        else:
+            print(f"bench steep failed (rc={rc})", file=sys.stderr, flush=True)
+
+    # Packed-ingest host rate (decode-free .pivseq feed; backs the x8 DP
+    # projection's host-feed arithmetic — BASELINE.md serving feasibility)
+    if budget_left() >= 60:
+        rc, out = _run_boxed(["--ingest"], min(300, int(budget_left())))
+        for line in reversed(out.splitlines()):
+            if line.startswith("RESULT "):
+                extras["ingest_1024_packed_pairs_per_sec"] = round(
+                    float(line.split()[1]), 1)
+                break
+        else:
+            print(f"bench ingest failed (rc={rc})", file=sys.stderr, flush=True)
+
     # The 200 pairs/s north star is a v2-backbone x N-chips plan (BASELINE.md):
     # inference DP has zero cross-chip communication (params replicated, batch
     # sharded — parallel/, run.py --num_devices), so aggregate throughput is
@@ -274,6 +374,10 @@ if __name__ == "__main__":
         child_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "--train":
         child_train()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--steep":
+        child_steep()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ingest":
+        child_ingest()
     elif len(sys.argv) > 1 and sys.argv[1] == "--one":
         child_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
     else:

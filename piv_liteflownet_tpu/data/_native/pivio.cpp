@@ -17,6 +17,10 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -pthread pivio.cpp -lz -o libpivio.so
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -384,6 +388,115 @@ bool load_image(const char* path, Image& img) {
   return decode_pnm(buf.data(), buf.size(), img);
 }
 
+// ------------------------------------------------------ packed .pivseq reader
+//
+// PNG at 1024^2 decodes at ~8 pairs/s/core (zlib-inflate-bound, BASELINE.md
+// r4 ingest table) — below even one v2 chip's 25 pairs/s, so multi-chip
+// serving needs a decode-free ingest format (the reference packs LMDB/HDF5
+// for training for the same reason, reference src/write_data.py:87-161).
+// .pivseq is that format for the inference side: raw little-endian frames,
+// mmap'd and dequantized straight into the batch ring — no inflate, no
+// filter pass, just a stream read at page-cache/disk bandwidth.
+//
+// Layout (little-endian):
+//   0:  magic "PIVSEQ01"
+//   8:  u32 h, u32 w, u32 c (1|3), u32 dtype (0=u8, 1=u16, 2=f32)
+//   24: u64 n_frames
+//   32: u64 names_offset        (byte offset of the name table)
+//   40: frames                  (n_frames * h*w*c*dtype_size bytes, HWC)
+//   names_offset: n_frames null-terminated original file names
+struct SeqMap {
+  const uint8_t* base = nullptr;
+  size_t map_len = 0;
+  int h = 0, w = 0, c = 0, dtype = 0;
+  long n = 0;
+  size_t frame_bytes = 0;
+
+  bool open(const char* path) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < 40) {
+      ::close(fd);
+      return false;
+    }
+    map_len = static_cast<size_t>(st.st_size);
+    void* p = mmap(nullptr, map_len, PROT_READ, MAP_PRIVATE, fd, 0);
+    ::close(fd);
+    if (p == MAP_FAILED) return false;
+    base = static_cast<const uint8_t*>(p);
+    if (memcmp(base, "PIVSEQ01", 8) != 0) return false;
+    uint32_t v[4];
+    memcpy(v, base + 8, 16);
+    h = static_cast<int>(v[0]);
+    w = static_cast<int>(v[1]);
+    c = static_cast<int>(v[2]);
+    dtype = static_cast<int>(v[3]);
+    uint64_t nf;
+    memcpy(&nf, base + 24, 8);
+    n = static_cast<long>(nf);
+    if (h <= 0 || w <= 0 || (c != 1 && c != 3) || dtype > 2 || n <= 0)
+      return false;
+    static const size_t dsz[] = {1, 2, 4};
+    frame_bytes = static_cast<size_t>(h) * w * c * dsz[dtype];
+    if (map_len < 40 + frame_bytes * static_cast<size_t>(n)) return false;
+    return true;
+  }
+
+  void close() {
+    if (base) munmap(const_cast<uint8_t*>(base), map_len);
+    base = nullptr;
+  }
+
+  // Dequantize frame `i` into a float32 RGB HWC slot (grayscale replicated).
+  // Plain division, not reciprocal-multiply: bit-parity with numpy's
+  // `arr / maxval` in the Python reader (same rule as the image decoders
+  // above). A 256-entry LUT keeps the u8 path at memcpy-like speed anyway.
+  void decode(long i, float* dst) const {
+    const uint8_t* src = base + 40 + frame_bytes * static_cast<size_t>(i);
+    size_t npx = static_cast<size_t>(h) * w;
+    if (dtype == 0) {
+      static const auto lut = [] {
+        std::vector<float> t(256);
+        for (int v = 0; v < 256; v++) t[v] = v / 255.0f;
+        return t;
+      }();
+      if (c == 3) {
+        for (size_t k = 0; k < npx * 3; k++) dst[k] = lut[src[k]];
+      } else {
+        for (size_t k = 0; k < npx; k++) {
+          float v = lut[src[k]];
+          dst[3 * k] = dst[3 * k + 1] = dst[3 * k + 2] = v;
+        }
+      }
+    } else if (dtype == 1) {
+      static const auto lut16 = [] {
+        std::vector<float> t(65536);
+        for (int v = 0; v < 65536; v++) t[v] = v / 65535.0f;
+        return t;
+      }();
+      const uint16_t* s = reinterpret_cast<const uint16_t*>(src);
+      if (c == 3) {
+        for (size_t k = 0; k < npx * 3; k++) dst[k] = lut16[s[k]];
+      } else {
+        for (size_t k = 0; k < npx; k++) {
+          float v = lut16[s[k]];
+          dst[3 * k] = dst[3 * k + 1] = dst[3 * k + 2] = v;
+        }
+      }
+    } else {
+      const float* s = reinterpret_cast<const float*>(src);
+      if (c == 3) {
+        memcpy(dst, s, npx * 3 * 4);
+      } else {
+        for (size_t k = 0; k < npx; k++) {
+          dst[3 * k] = dst[3 * k + 1] = dst[3 * k + 2] = s[k];
+        }
+      }
+    }
+  }
+};
+
 // -------------------------------------------------------------- batch loader
 struct Batch {
   long index = -1;
@@ -395,6 +508,8 @@ struct Batch {
 
 struct Loader {
   std::vector<std::string> paths1, paths2, pathsF;  // pathsF empty = inference
+  SeqMap seq;                        // packed mode: frames come from one mmap
+  std::vector<long> sidx1, sidx2;    // packed mode: frame indices per pair
   int batch = 1, h = 0, w = 0, fh = 0, fw = 0, threads = 2;
   std::atomic<long> next_batch{0};
   long n_batches = 0;
@@ -415,11 +530,22 @@ struct Loader {
       Batch b;
       b.index = bi;
       size_t start = static_cast<size_t>(bi) * batch;
-      size_t cnt = std::min<size_t>(batch, paths1.size() - start);
+      size_t total = seq.base ? sidx1.size() : paths1.size();
+      size_t cnt = std::min<size_t>(batch, total - start);
       b.valid = static_cast<int>(cnt);
       size_t frame = static_cast<size_t>(batch) * h * w * 3;
       b.data.assign(2 * frame, 0.0f);
       if (!pathsF.empty()) b.flow.assign(static_cast<size_t>(batch) * fh * fw * 2, 0.0f);
+      if (seq.base) {
+        // packed mode: dequantize each frame straight into its batch slot
+        size_t px = static_cast<size_t>(h) * w * 3;
+        for (size_t k = 0; k < cnt; k++) {
+          seq.decode(sidx1[start + k], &b.data[k * px]);
+          seq.decode(sidx2[start + k], &b.data[frame + k * px]);
+        }
+        if (!enqueue(std::move(b))) return;
+        continue;
+      }
       for (size_t k = 0; k < cnt; k++) {
         Image i1, i2;
         if (!load_image(paths1[start + k].c_str(), i1) ||
@@ -457,27 +583,35 @@ struct Loader {
         put(i1, 0);
         put(i2, frame);
       }
-      std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
-      if (stop.load()) return;
-      stash.push_back(std::move(b));
-      // release in order
-      bool moved = true;
-      while (moved) {
-        moved = false;
-        for (size_t i = 0; i < stash.size(); i++) {
-          if (stash[i].index == emit_next) {
-            ready.push(std::move(stash[i]));
-            stash.erase(stash.begin() + i);
-            emit_next++;
-            moved = true;
-            break;
-          }
-        }
-      }
-      cv_ready.notify_all();
+      if (!enqueue(std::move(b))) return;
     }
   }
+
+  // Hand a completed batch to the in-order ready queue; false on shutdown.
+  bool enqueue(Batch&& b) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
+    if (stop.load()) return false;
+    stash.push_back(std::move(b));
+    // release in order
+    bool moved = true;
+    while (moved) {
+      moved = false;
+      for (size_t i = 0; i < stash.size(); i++) {
+        if (stash[i].index == emit_next) {
+          ready.push(std::move(stash[i]));
+          stash.erase(stash.begin() + i);
+          emit_next++;
+          moved = true;
+          break;
+        }
+      }
+    }
+    cv_ready.notify_all();
+    return true;
+  }
+
+  ~Loader() { seq.close(); }
 };
 
 }  // namespace
@@ -549,6 +683,77 @@ void* pivio_loader_create_flow(const char** paths1, const char** paths2,
   L->fh = fh;
   L->fw = fw;
   L->threads = threads;
+  for (int t = 0; t < threads; t++)
+    L->workers.emplace_back([L] { L->worker(); });
+  return L;
+}
+
+// Header probe of a packed .pivseq file. Returns 0 and fills the geometry on
+// success. names_off/names_len describe the trailing name-table byte range so
+// Python can read the original file names without mapping frames.
+int pivio_seq_info(const char* path, int* h, int* w, int* c, int* dtype,
+                   long* n, long* names_off, long* names_len) {
+  SeqMap s;
+  if (!s.open(path)) {
+    s.close();
+    return -1;
+  }
+  *h = s.h;
+  *w = s.w;
+  *c = s.c;
+  *dtype = s.dtype;
+  *n = s.n;
+  uint64_t no;
+  memcpy(&no, s.base + 32, 8);
+  *names_off = static_cast<long>(no);
+  *names_len = no ? static_cast<long>(s.map_len - no) : 0;
+  s.close();
+  return 0;
+}
+
+// One-shot decode of frame `i` into float32 RGB HWC [0,1] (parity probe and
+// small-scale use; the batch loader below is the production path).
+int pivio_seq_read_frame(const char* path, long i, float* out, long max_elems) {
+  SeqMap s;
+  if (!s.open(path) || i < 0 || i >= s.n) {
+    s.close();
+    return -1;
+  }
+  size_t need = static_cast<size_t>(s.h) * s.w * 3;
+  if (static_cast<size_t>(max_elems) < need) {
+    s.close();
+    return -2;
+  }
+  s.decode(i, out);
+  s.close();
+  return 0;
+}
+
+// Threaded batch loader over a packed .pivseq: pairs of frame indices,
+// same ring/ordering machinery and [2, B, H, W, 3] output contract as
+// pivio_loader_create (consume with pivio_loader_next/_batches/_destroy).
+void* pivio_seqloader_create(const char* path, const long* idx1,
+                             const long* idx2, long npairs, int batch,
+                             int threads) {
+  auto* L = new Loader();
+  if (!L->seq.open(path)) {
+    delete L;
+    return nullptr;
+  }
+  L->sidx1.assign(idx1, idx1 + npairs);
+  L->sidx2.assign(idx2, idx2 + npairs);
+  for (long i = 0; i < npairs; i++) {
+    if (L->sidx1[i] < 0 || L->sidx1[i] >= L->seq.n || L->sidx2[i] < 0 ||
+        L->sidx2[i] >= L->seq.n) {
+      delete L;
+      return nullptr;
+    }
+  }
+  L->batch = batch;
+  L->h = L->seq.h;
+  L->w = L->seq.w;
+  L->threads = threads;
+  L->n_batches = (npairs + batch - 1) / batch;
   for (int t = 0; t < threads; t++)
     L->workers.emplace_back([L] { L->worker(); });
   return L;

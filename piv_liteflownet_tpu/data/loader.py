@@ -29,11 +29,21 @@ def native_loader_for(dataset, batch_size: int, num_workers: int = 4):
     minimal decoders reject fall back to the Python loader's PIL threads).
     Returns None when inapplicable."""
     try:
-        from piv_liteflownet_tpu.data.native import NativeBatchLoader, get_lib, image_read
+        from piv_liteflownet_tpu.data.native import (NativeBatchLoader,
+                                                     NativeSeqLoader, get_lib,
+                                                     image_read)
     except Exception:  # pragma: no cover
         return None
     if get_lib() is None:
         return None
+    if hasattr(dataset, "index_pairs") and hasattr(dataset, "reader"):
+        # packed .pivseq container (data/pivseq.PivseqRun): mmap + dequantize,
+        # no decode — the production multi-chip serving feed
+        try:
+            return NativeSeqLoader(dataset, batch_size,
+                                   threads=max(2, num_workers))
+        except Exception:
+            return None
     pairs = getattr(dataset, "pairs", None)
     if not pairs:
         return None

@@ -91,6 +91,24 @@ def get_lib():
     lib.pivio_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.pivio_loader_destroy.restype = None
     lib.pivio_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.pivio_seq_info.restype = ctypes.c_int
+    lib.pivio_seq_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.pivio_seq_read_frame.restype = ctypes.c_int
+    lib.pivio_seq_read_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.pivio_seqloader_create.restype = ctypes.c_void_p
+    lib.pivio_seqloader_create.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -208,6 +226,69 @@ class NativeTrainLoader:
                 yield (imgs[0, :valid].copy(), imgs[1, :valid].copy()), flow[:valid].copy()
         finally:
             lib.pivio_loader_destroy(handle)
+
+
+def seq_read_frame(path: str, i: int, h: int, w: int) -> np.ndarray:
+    """Native one-shot .pivseq frame decode -> float32 RGB HWC [0,1]."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("libpivio unavailable")
+    out = np.empty((h, w, 3), np.float32)
+    rc = lib.pivio_seq_read_frame(path.encode(), i, _fptr(out), out.size)
+    if rc != 0:
+        raise IOError(f"seq_read_frame({path}, {i}) failed rc={rc}")
+    return out
+
+
+class NativeSeqLoader:
+    """Threaded batch loader over a packed ``.pivseq`` container: mmap'd raw
+    frames dequantized straight into the batch ring — the decode-free ingest
+    that feeds multi-chip serving (PNG inflate caps at ~8 pairs/s/core at
+    1024^2, BASELINE.md). Yields ``((im1 [B,H,W,3], im2 [B,H,W,3]), names)``
+    like ``NativeBatchLoader``."""
+
+    def __init__(self, dataset, batch_size: int, threads: int = 4):
+        """``dataset`` is a ``data.pivseq.PivseqRun`` (path + index_pairs +
+        original-name pairs)."""
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("libpivio unavailable")
+        self._lib = lib
+        self.pairs = list(dataset.pairs)
+        self.batch = batch_size
+        self.h, self.w = dataset.reader.h, dataset.reader.w
+        n = len(dataset.index_pairs)
+        i1 = (ctypes.c_long * n)(*[p[0] for p in dataset.index_pairs])
+        i2 = (ctypes.c_long * n)(*[p[1] for p in dataset.index_pairs])
+        self._handle = lib.pivio_seqloader_create(
+            dataset.path.encode(), i1, i2, n, batch_size, threads)
+        if not self._handle:
+            raise IOError(f"pivio_seqloader_create({dataset.path}) failed")
+        self.n_batches = lib.pivio_loader_batches(self._handle)
+
+    def __len__(self):
+        return int(self.n_batches)
+
+    def __iter__(self):
+        buf = np.empty((2, self.batch, self.h, self.w, 3), np.float32)
+        for bi in range(self.n_batches):
+            valid = self._lib.pivio_loader_next(self._handle, _fptr(buf))
+            if valid < 0:
+                break
+            names = [p[0] for p in
+                     self.pairs[bi * self.batch : bi * self.batch + valid]]
+            yield (buf[0, :valid].copy(), buf[1, :valid].copy()), names
+
+    def close(self):
+        if self._handle:
+            self._lib.pivio_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeBatchLoader:

@@ -80,6 +80,12 @@ class Pipeline:
     # taps/weights, equal up to f32 summation order.
     resample: str = "auto"
 
+    def __post_init__(self):
+        if self.resample not in ("auto", "gather"):
+            raise ValueError(
+                f"Pipeline.resample must be 'auto' or 'gather', got {self.resample!r}"
+            )
+
 
 def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
                      fill=None) -> jax.Array:

@@ -425,6 +425,7 @@ def _c_head(p: Params, name: str, x, level, cfg, precision=None):
         # then the 2 real lanes are sliced. Exact: the padded filters are
         # zero and their outputs are discarded.
         cout = w.shape[-1]
+        assert cout <= 32, f"padded head supports cout <= 32, got {cout}"
         wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 32 - cout)))
         out = conv2d(x, wp, None, 1, PLAST[level], precision)[..., :cout]
         return out + p[f"{name}.bias"]

@@ -78,9 +78,10 @@ def conv2d_shift_smallcout(
 
     Training bonus: the backward also avoids the tiny-N/tiny-K convs the
     direct head differentiates into (grad_x through a cin=2 k7 conv).
-    Stride-1 only.
+    Stride-1 only (the tap shift-sum assumes a dense output grid; asserted).
     """
     kh, kw, cin, cout = w.shape
+    assert cout <= 32, f"shift head is for tiny cout (flow heads), got {cout}"
     bsz, h, win, _ = x.shape
     # w1[0,0,c,(dy*kw+dx)*cout+o] = w[dy,dx,c,o]
     w1 = jnp.transpose(w, (2, 0, 1, 3)).reshape(1, 1, cin, kh * kw * cout)

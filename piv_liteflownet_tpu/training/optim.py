@@ -27,6 +27,14 @@ import jax
 import optax
 
 
+def flat_opt_mode() -> str:
+    """The PIV_FLAT_OPT probe knob ("0" per-leaf default / "1" full flatten /
+    "2" moments-only). optax.flatten changes the opt-state pytree structure,
+    so checkpoints are only restorable under the same mode — trainer records
+    this value in checkpoint metadata and verifies it on --resume."""
+    return os.environ.get("PIV_FLAT_OPT", "0")
+
+
 def param_group_labels(params: Dict[str, jax.Array], lowest_level: int) -> Dict[str, str]:
     """Label each flat param key with its reference param group."""
     def_id = {i for i, level in enumerate(range(lowest_level, 7)) if level < 4}
@@ -174,7 +182,7 @@ def _group(optimizer: str, lr: float, wd: float, **kw):
         # PIV_FLAT_OPT=2: flatten ONLY the moment math — weight decay (which
         # reads params) stays per-leaf, so params never enter the raveled
         # domain (probe for the flatten layout regression, see below).
-        if os.environ.get("PIV_FLAT_OPT", "0") == "2":
+        if flat_opt_mode() == "2":
             inner = optax.flatten(inner)
         if decoupled:
             # AdamW-style: update = -lr * (direction + wd * p)
@@ -202,7 +210,7 @@ def _group(optimizer: str, lr: float, wd: float, **kw):
     # train_flat.log). Default therefore stays per-leaf; the knob and the
     # record stay for round 5 (a layout-pinning fix would recover the 8.7).
     tx = optax.inject_hyperparams(lambda lr: make(lr))(lr=lr)
-    if os.environ.get("PIV_FLAT_OPT", "0") == "1":
+    if flat_opt_mode() == "1":
         tx = optax.flatten(tx)
     return tx
 

@@ -115,7 +115,16 @@ def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1,
     from piv_liteflownet_tpu.utils.flow_io import flowname_modifier, write_flow
 
     os.makedirs(savedir, exist_ok=True)
-    ds = Run(root=inputdir, is_pair=is_pair, n_images=num_images, start_at=start_id)
+    if inputdir.endswith(".pivseq"):
+        # packed raw container (decode-free ingest; data/pivseq.py) — same
+        # pairing rules applied to the stored original names
+        from piv_liteflownet_tpu.data.pivseq import PivseqRun
+
+        ds = PivseqRun(inputdir, is_pair=is_pair, n_images=num_images,
+                       start_at=start_id)
+    else:
+        ds = Run(root=inputdir, is_pair=is_pair, n_images=num_images,
+                 start_at=start_id)
     print(f"Processing {len(ds)} pairs of images...")
     if mesh is not None:
         batch_size *= int(mesh.shape.get("data", 1))

@@ -210,9 +210,14 @@ class Train:
             "best_epe": np.asarray(best_err),
             "step": np.asarray(self.state.step),
         }
+        from piv_liteflownet_tpu.training.optim import flat_opt_mode
+
         meta = {"arch": self.args.model, "opt": self.args.optimizer,
                 "exp_key": self.experiment.get_key(), "epoch": int(epoch),
-                "best_EPE": float(best_err)}
+                "best_EPE": float(best_err),
+                # optax.flatten changes the opt-state pytree structure;
+                # restore must run under the same PIV_FLAT_OPT mode
+                "flat_opt": flat_opt_mode()}
         save_checkpoint(state, is_best, self.args.save, self.args.model,
                         filename=filename, metadata=meta)
 
@@ -349,6 +354,13 @@ def main(argv=None):
         args.best_err = 1e8
         if args.resume:
             meta = load_metadata(args.resume)
+            from piv_liteflownet_tpu.training.optim import flat_opt_mode
+            saved_flat = (meta or {}).get("flat_opt", "0")
+            if saved_flat != flat_opt_mode():
+                raise SystemExit(
+                    f"checkpoint was saved with PIV_FLAT_OPT={saved_flat} but "
+                    f"this run has PIV_FLAT_OPT={flat_opt_mode()}; the optimizer "
+                    "state pytree structure differs — set the env var to match")
             abstract = {"params": state.params, "opt_state": state.opt_state,
                         "epoch": np.asarray(0), "best_epe": np.asarray(0.0),
                         "step": np.asarray(0)}
