@@ -136,6 +136,29 @@ def main_dl(model, inputdir, savedir, is_pair=False, start_id=0, num_images=-1,
                                      "(needs PGM/PPM pairs) — Python loader"))
     if loader is None:
         loader = BatchLoader(ds, batch_size=batch_size)
+    if mesh is not None:
+        # multi-chip DP: device_put each batch with the data-axis sharding on
+        # a background thread (PrefetchLoader), so the host->device scatter of
+        # batch k overlaps the sharded forward of batch k-1. Short final
+        # batches are padded here (device_put needs B % n == 0); estimate()
+        # sees an already-sharded full batch and the extra rows are never
+        # written (names is unpadded).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from piv_liteflownet_tpu.data.loader import PrefetchLoader
+
+        n = int(mesh.shape.get("data", 1))
+
+        def _padded(it):
+            for (im1, im2), names in it:
+                pad = (-im1.shape[0]) % n
+                if pad:
+                    im1 = np.concatenate([im1, np.repeat(im1[-1:], pad, 0)])
+                    im2 = np.concatenate([im2, np.repeat(im2[-1:], pad, 0)])
+                yield (im1, im2), names
+
+        loader = PrefetchLoader(_padded(loader), prefetch=2,
+                                sharding=NamedSharding(mesh, PartitionSpec("data")))
     # keep 2 device batches in flight: decode/dispatch overlaps drain+write
     from collections import deque
 
