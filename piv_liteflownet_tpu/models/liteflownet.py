@@ -161,7 +161,17 @@ class ModelConfig:
     # (lowest_level >= 2, i.e. v2) on even H/W; exact up to f32 summation
     # order (ops/nn.netc_head_parity, tests/test_netc_head.py).
     netc_head: str = "auto"
-    # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R"});
+    # Training warp VJP ("gather" | "tent"): "tent" routes stride-1 warps
+    # through ops/pallas_warp_vjp.backwarp_tvjp, whose image gradient is the
+    # tent-transpose Pallas kernel — the adjoint of the bilinear gather
+    # expressed as a bounded gather over the adjoint — when its exactness
+    # bounds hold on the flow (lax.cond fallback to the XLA scatter beyond;
+    # exact either way). Forward values identical; eval unaffected (no grad
+    # taken). The XLA scatter the kernel replaces bills 21.4 ms/step of the
+    # 150.8 ms r4 train step (work/warpbwd.log). Default "gather" until the
+    # wall A/B adjudicates (work/r5_wall.log).
+    warp_vjp: str = "gather"
+    # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R",...});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()
 
@@ -307,6 +317,11 @@ def _warp(cfg: ModelConfig, img, flow, stride: int = 1):
             )
             return _bar(out)
 
+    if (cfg.warp_vjp == "tent" and stride == 1
+            and img.shape[2] >= 128 and img.shape[1] >= 16):
+        from piv_liteflownet_tpu.ops.pallas_warp_vjp import backwarp_tvjp
+
+        return _bar(backwarp_tvjp(img, flow))
     out = backwarp(img, flow, stride)
     return _bar(out)
 
@@ -743,7 +758,17 @@ def forward(
         and cfg.lowest_level >= 2
         and x1.shape[1] % 2 == 0 and x1.shape[2] % 2 == 0
     )
-    if netc_joint:
+    if "NetC" in cfg.ablate:  # attribution only: shape-true zero pyramids
+        chans = [32, 32, 64, 96, 128, 192]
+        feat1, feat2 = [], []
+        h, w = x1.shape[1], x1.shape[2]
+        for li in range(6):
+            feat1.append(jnp.zeros((batch, h, w, chans[li]), x1.dtype)
+                         + x1[:, :h, :w, :1])
+            feat2.append(jnp.zeros((batch, h, w, chans[li]), x2.dtype)
+                         + x2[:, :h, :w, :1])
+            h, w = -(-h // 2), -(-w // 2)
+    elif netc_joint:
         feats = _netc(params, jnp.concatenate([x1, x2], axis=0), precision,
                       head_parity)
         feat1 = [f[:batch] if f is not None else None for f in feats]

@@ -12,6 +12,8 @@ sys.path.insert(0, "/root/repo")
 
 from piv_liteflownet_tpu.utils.flow_io import read_flow
 
+pytestmark = pytest.mark.slow  # CLI subprocess battery (fresh interpreter + compile per test)
+
 
 def _load_repo_module(name):
     """Import a repo-root CLI module by path (the reference mount has

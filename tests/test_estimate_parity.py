@@ -23,6 +23,8 @@ from tests.torch_oracles import load_reference_models
 
 DEMO = "/root/reference/images/demo"
 
+pytestmark = pytest.mark.slow  # end-to-end reference-torch parity (slow torch forwards)
+
 
 def _load_demo(crop=None):
     from PIL import Image

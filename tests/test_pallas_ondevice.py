@@ -91,3 +91,71 @@ def test_planar_feat_warp_on_device(dtype):
     # error (those would be O(pixel value) = O(1)).
     tol = 5e-5 if dtype == jnp.float32 else 3e-2
     np.testing.assert_allclose(got, ref, atol=tol)
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_warp_vjp_tent_transpose_on_device(dtype):
+    """Tent-transpose warp img-grad (ops/pallas_warp_vjp.py) vs the XLA
+    scatter on real Mosaic lowering (r5; the DMA-alignment and dynamic-rotate
+    rules only surface on device)."""
+    from piv_liteflownet_tpu.ops.pallas_warp_vjp import (
+        warp_img_grad_bounds_ok,
+        warp_img_grad_pallas,
+    )
+    from piv_liteflownet_tpu.ops.warp import backwarp
+
+    b, h, w, c = 2, 96, 384, 32
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (b, h, w, c), jnp.float32).astype(dtype)
+    gout = jax.random.uniform(jax.random.fold_in(key, 1), (b, h, w, c),
+                              jnp.float32).astype(dtype)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    u = 3.0 + 1.2 * jnp.sin(xx / 60.0) + 0.4 * jnp.cos(yy / 35.0)
+    v = -2.0 + 0.8 * jnp.cos(xx / 50.0) + 0.5 * jnp.sin(yy / 25.0)
+    flow = jnp.broadcast_to(jnp.stack([u + 0 * yy, v + 0 * xx], -1),
+                            (b, h, w, 2))
+    assert bool(warp_img_grad_bounds_ok(flow))
+
+    def pull(a):
+        _, vjp = jax.vjp(lambda x: backwarp(x, flow), a)
+        (g,) = vjp(gout)
+        return g
+
+    ref = np.asarray(pull(img).astype(jnp.float32))
+    got = np.asarray(warp_img_grad_pallas(gout, flow).astype(jnp.float32))
+    tol = 5e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(got, ref, atol=tol)
+
+
+@requires_tpu
+def test_backwarp_tvjp_full_grads_on_device():
+    """The guarded custom VJP end to end on device: img+flow grads equal
+    autodiff on a tent-eligible flow AND on a steep flow (scatter fallback)."""
+    from piv_liteflownet_tpu.ops.pallas_warp_vjp import (
+        backwarp_tvjp,
+        warp_img_grad_bounds_ok,
+    )
+    from piv_liteflownet_tpu.ops.warp import backwarp
+
+    b, h, w, c = 1, 64, 256, 16
+    key = jax.random.PRNGKey(2)
+    img = jax.random.uniform(key, (b, h, w, c), jnp.float32)
+    tgt = jax.random.uniform(jax.random.fold_in(key, 1), (b, h, w, c), jnp.float32)
+    smooth = jnp.broadcast_to(
+        jnp.asarray([1.5, -0.8], jnp.float32), (b, h, w, 2))
+    rough = (jax.random.uniform(jax.random.fold_in(key, 2), (b, h, w, 2),
+                                jnp.float32) - 0.5) * 30
+    for flow, expect in ((smooth, True), (rough, False)):
+        assert bool(warp_img_grad_bounds_ok(flow)) == expect
+        gi_t, gf_t = jax.grad(
+            lambda a, f: jnp.sum((backwarp_tvjp(a, f) - tgt) ** 2),
+            argnums=(0, 1))(img, flow)
+        gi_r, gf_r = jax.grad(
+            lambda a, f: jnp.sum((backwarp(a, f) - tgt) ** 2),
+            argnums=(0, 1))(img, flow)
+        np.testing.assert_allclose(np.asarray(gi_t), np.asarray(gi_r),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_r),
+                                   atol=1e-3, rtol=1e-3)

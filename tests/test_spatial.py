@@ -26,6 +26,8 @@ from piv_liteflownet_tpu.ops.warp import backwarp
 from piv_liteflownet_tpu.parallel.mesh import make_mesh
 from piv_liteflownet_tpu.parallel.spatial import spatial_estimate, spatial_shardings
 
+pytestmark = pytest.mark.slow  # 4-device GSPMD compiles + a subprocess respawn
+
 
 @pytest.mark.parametrize("halo_warp", [False, True])
 def test_spatial_sharded_forward_matches_single_device(halo_warp):
@@ -112,7 +114,9 @@ def test_estimate_spatial_mesh_matches_plain():
     if os.environ.get("PIV_SPATIAL_SUBPROC") != "1":
         env = dict(os.environ, PIV_SPATIAL_SUBPROC="1")
         r = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q",
+            # -m slow: the module is slow-marked and pytest.ini's default
+            # -m "not slow" would deselect the child test otherwise
+            [sys.executable, "-m", "pytest", "-q", "-m", "slow",
              f"{__file__}::test_estimate_spatial_mesh_matches_plain"],
             env=env, capture_output=True, text=True, timeout=1200,
         )

@@ -160,6 +160,7 @@ def _write_piv_dataset(root, n=4, size=(80, 80)):
         json.dump(flos, f)
 
 
+@pytest.mark.slow  # trainer CLI subprocess run
 def test_trainer_cli_resume_equivalence(tmp_path):
     """train(2 epochs) == train(1) + resume(1 more): params AND optimizer
     moments survive the checkpoint, so the resumed trajectory is the same run
@@ -217,6 +218,7 @@ def test_trainer_cli_resume_equivalence(tmp_path):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow  # trainer CLI subprocess run
 def test_trainer_cli_native_io_equivalence(tmp_path):
     """trainer --native_io (C++ PNG + .flo ingest, libpivio) trains the same
     trajectory as the Python PIL loader: same shuffle formula (seed+epoch

@@ -27,6 +27,10 @@ from piv_liteflownet_tpu.training.optim import make_optimizer
 SIZE, BATCH, N = 256, 8, 30
 model = piv_liteflownet(version=1)
 cfg = model.cfg
+if os.environ.get("PIV_WARP_VJP"):  # r5: tent-transpose warp VJP A/B
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, warp_vjp=os.environ["PIV_WARP_VJP"])
 tx, _ = make_optimizer(model.params, cfg.lowest_level)
 pipe = Pipeline(
     crop_size=(SIZE, SIZE), translate=16, scale_range=(0.95, 1.45),
@@ -41,12 +45,16 @@ img1 = jax.random.uniform(key, (BATCH, H, W, 3), jnp.float32)
 img2 = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, H, W, 3), jnp.float32)
 target = jax.random.normal(jax.random.fold_in(key, 2), (BATCH, H, W, 2), jnp.float32) * 2
 
+ONLY = [a for a in sys.argv[1:] if a in ("f32", "bf16", "bf16+remat",
+                                         "f32+remat", "curves")]
 for label, kw in (
     ("f32            ", {}),
     ("bf16           ", dict(compute_dtype=jnp.bfloat16)),
     ("bf16+remat     ", dict(compute_dtype=jnp.bfloat16, remat=True)),
     ("f32+remat      ", dict(remat=True)),
 ):
+    if ONLY and label.strip() not in ONLY:
+        continue
     try:
         step = make_train_step(cfg, piv_loss(version=1), tx, pipeline=pipe, **kw)
         # fresh copies: the step donates its state, deleting the fed buffers
@@ -66,6 +74,8 @@ for label, kw in (
         print(f"train {label}: FAILED {type(e).__name__}: {str(e)[:250]}", flush=True)
 
 # loss-curve equivalence: 60 steps f32 vs bf16 from the same init/keys
+if ONLY and "curves" not in ONLY:
+    sys.exit(0)
 import numpy as np
 
 curves = {}
