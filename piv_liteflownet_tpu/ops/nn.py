@@ -9,7 +9,9 @@ the weight converter is a pure layout transpose).
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -25,23 +27,7 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
-def conv2d(
-    x: jax.Array,
-    w: jax.Array,
-    b: Optional[jax.Array] = None,
-    stride: int | tuple[int, int] = 1,
-    padding: int | tuple[int, int] = 0,
-    precision=None,
-) -> jax.Array:
-    """2D convolution, NHWC input, HWIO kernel, symmetric integer padding.
-
-    Matches ``torch.nn.Conv2d(stride=stride, padding=padding)`` numerics
-    (cross-correlation, zero padding).
-    """
-    if isinstance(stride, int):
-        stride = (stride, stride)
-    if isinstance(padding, int):
-        padding = (padding, padding)
+def _conv2d_xla(x, w, b, stride, padding, precision):
     pad = [(padding[0], padding[0]), (padding[1], padding[1])]
     out = lax.conv_general_dilated(
         x,
@@ -54,6 +40,102 @@ def conv2d(
     if b is not None:
         out = out + b
     return out
+
+
+def wgrad_shift_gemm(x, g, kh, kw, stride, padding, out_dtype, precision=None):
+    """Conv weight-grad as kh*kw shifted GEMMs (K = B*Ho*Wo, f32 accum).
+
+    XLA's autodiff lowers the weight-grad as a convolution whose OUTPUT is
+    the tiny [kh,kw,Cin,Cout] filter — the same small-output-window
+    pathology measured on the cout=2 flow heads — and the r5 wall probe
+    attributes 55.7 ms of the 151 ms train step to it (work/r5_wall.log).
+    Here each filter tap is one (Cin x K)@(K x Cout) GEMM over the full
+    batch*space contraction, which is plain MXU food. Equals the autodiff
+    weight-grad up to f32 summation order.
+    """
+    b, h, w_in, cin = x.shape
+    _, ho, wo, cout = g.shape
+    xp = jnp.pad(x, ((0, 0), (padding[0], padding[0]),
+                     (padding[1], padding[1]), (0, 0)))
+    g2 = g.reshape(b * ho * wo, cout)
+    taps = []
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = lax.slice(
+                xp, (0, dy, dx, 0),
+                (b, dy + (ho - 1) * stride[0] + 1,
+                 dx + (wo - 1) * stride[1] + 1, cin),
+                (1, stride[0], stride[1], 1),
+            ).reshape(b * ho * wo, cin)
+            taps.append(
+                lax.dot_general(sl, g2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision))
+    return (jnp.stack(taps).reshape(kh, kw, cin, cout).astype(out_dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _conv2d_sw(x, w, b, stride, padding, precision):
+    return _conv2d_xla(x, w, b, stride, padding, precision)
+
+
+def _conv2d_sw_fwd(x, w, b, stride, padding, precision):
+    return _conv2d_xla(x, w, b, stride, padding, precision), (x, w, b)
+
+
+def _conv2d_sw_bwd(stride, padding, precision, res, g):
+    x, w, b = res
+    # data-grad: XLA's transposed conv (not the wall; r5_wall.log)
+    _, pull = jax.vjp(
+        lambda a: _conv2d_xla(a, w, None, stride, padding, precision), x)
+    (gx,) = pull(g)
+    gw = wgrad_shift_gemm(x, g, w.shape[0], w.shape[1], stride, padding,
+                          w.dtype, precision)
+    gb = None if b is None else jnp.sum(g, axis=(0, 1, 2)).astype(b.dtype)
+    return gx, gw, gb
+
+
+_conv2d_sw.defvjp(_conv2d_sw_fwd, _conv2d_sw_bwd)
+
+#: conv weight-grad implementation ("xla" autodiff | "shift" GEMM-per-tap).
+#: Probe knob (PIV_CONV_WGRAD) read at trace time; the A/B record lives in
+#: work/r5_wgrad.log / BASELINE.md. Promoted to the default if it wins
+#: in-model. Eval/inference never differentiates convs, so this only
+#: affects training programs.
+_CONV_WGRAD = os.environ.get("PIV_CONV_WGRAD", "xla")
+
+
+def set_conv_wgrad(mode: str) -> str:
+    """Set the conv weight-grad implementation; returns the previous mode."""
+    global _CONV_WGRAD
+    assert mode in ("xla", "shift"), mode
+    prev = _CONV_WGRAD
+    _CONV_WGRAD = mode
+    return prev
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int | tuple[int, int] = 1,
+    padding: int | tuple[int, int] = 0,
+    precision=None,
+) -> jax.Array:
+    """2D convolution, NHWC input, HWIO kernel, symmetric integer padding.
+
+    Matches ``torch.nn.Conv2d(stride=stride, padding=padding)`` numerics
+    (cross-correlation, zero padding). Under ``set_conv_wgrad("shift")`` the
+    weight-gradient is computed by :func:`wgrad_shift_gemm` (values and
+    data-grads unchanged).
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if _CONV_WGRAD == "shift":
+        return _conv2d_sw(x, w, b, stride, padding, precision)
+    return _conv2d_xla(x, w, b, stride, padding, precision)
 
 
 def conv2d_shift_smallcout(
