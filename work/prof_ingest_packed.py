@@ -86,7 +86,7 @@ def main():
         rate = time_loader(ld, n_pairs)
         ld.close()
         print(f"packed native threads={threads}: {rate:7.1f} pairs/s "
-              f"({rate * 2 * SIZE * SIZE / 1e9:.2f} GB/s decoded f32 out)",
+              f"({rate * 2 * SIZE * SIZE * 12 / 1e9:.2f} GB/s decoded f32 out)",
               flush=True)
 
     # python fallback (memmap reader through BatchLoader, 2 workers)
