@@ -97,18 +97,23 @@ def _conv2d_sw_bwd(stride, padding, precision, res, g):
 
 _conv2d_sw.defvjp(_conv2d_sw_fwd, _conv2d_sw_bwd)
 
-#: conv weight-grad implementation ("xla" autodiff | "shift" GEMM-per-tap).
-#: Probe knob (PIV_CONV_WGRAD) read at trace time; the A/B record lives in
-#: work/r5_wgrad.log / BASELINE.md. Promoted to the default if it wins
-#: in-model. Eval/inference never differentiates convs, so this only
-#: affects training programs.
+#: conv weight-grad implementation ("xla" autodiff | "shift" GEMM-per-tap
+#: everywhere | "stride2" GEMM-per-tap only for strided convs). Probe knob
+#: (PIV_CONV_WGRAD) read at trace time; the A/B record lives in
+#: work/r5_wgrad.log / BASELINE.md. The microbench splits by shape: XLA's
+#: wgrad conv is FASTER at stride-1 (0.44-0.47 vs 1.7-2.1 ms on the big
+#: 4 Mpx-contraction shapes) but pathological at stride 2 (NetC 32->64 s2:
+#: 4.55 ms at 0.3 TF/s vs the shifted GEMM's 1.25 ms) — strided wgrad
+#: becomes a dilated-rhs conv whose output is still the tiny filter.
+#: "stride2" applies the reformulation only where it wins. Eval/inference
+#: never differentiates convs, so this only affects training programs.
 _CONV_WGRAD = os.environ.get("PIV_CONV_WGRAD", "xla")
 
 
 def set_conv_wgrad(mode: str) -> str:
     """Set the conv weight-grad implementation; returns the previous mode."""
     global _CONV_WGRAD
-    assert mode in ("xla", "shift"), mode
+    assert mode in ("xla", "shift", "stride2"), mode
     prev = _CONV_WGRAD
     _CONV_WGRAD = mode
     return prev
@@ -125,7 +130,8 @@ def conv2d(
     """2D convolution, NHWC input, HWIO kernel, symmetric integer padding.
 
     Matches ``torch.nn.Conv2d(stride=stride, padding=padding)`` numerics
-    (cross-correlation, zero padding). Under ``set_conv_wgrad("shift")`` the
+    (cross-correlation, zero padding). Under ``set_conv_wgrad("shift")``
+    (all convs) or ``set_conv_wgrad("stride2")`` (strided convs only) the
     weight-gradient is computed by :func:`wgrad_shift_gemm` (values and
     data-grads unchanged).
     """
@@ -133,7 +139,8 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
-    if _CONV_WGRAD == "shift":
+    if _CONV_WGRAD == "shift" or (
+            _CONV_WGRAD == "stride2" and stride != (1, 1)):
         return _conv2d_sw(x, w, b, stride, padding, precision)
     return _conv2d_xla(x, w, b, stride, padding, precision)
 

@@ -262,7 +262,11 @@ def make_backwarp_tvjp(ry: int = 4, vlim: int = 8, tile_h: int = 16,
             return gimg
 
         h, w = img.shape[1], img.shape[2]
-        if w < 128 or h < 16 or not (_pallas_ok() or interpret):
+        # Mixed dtypes never occur in the model (bf16 training's flow IS
+        # bf16); routing them to the scatter avoids silently quantizing an
+        # f32 flow to the slab dtype for the tap weights.
+        if (w < 128 or h < 16 or img.dtype != flow.dtype
+                or not (_pallas_ok() or interpret)):
             return scatter_img_grad(g), gflow
         gimg = lax.cond(
             warp_img_grad_bounds_ok(flow, ry, vlim, tile_h),
@@ -277,6 +281,9 @@ def make_backwarp_tvjp(ry: int = 4, vlim: int = 8, tile_h: int = 16,
     return bw
 
 
-#: default instance (tier ry=4: covers the training regime's per-tile
-#: residuals; steep flows take the exact scatter fallback)
-backwarp_tvjp = make_backwarp_tvjp()
+#: default instance. Tier ry=4 covers the training regime's per-tile
+#: residuals; steep flows take the exact scatter fallback. PIV_TVJP_RY is a
+#: trace-time probe knob (smaller ry = (2*ry+3)^2 taps of VPU work vs more
+#: guard fallbacks; the A/B record lives in work/r5_train_tentvjp*.log).
+backwarp_tvjp = make_backwarp_tvjp(
+    ry=int(__import__("os").environ.get("PIV_TVJP_RY", "4")))

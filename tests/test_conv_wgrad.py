@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import piv_liteflownet_tpu.ops.nn as nn
 
 
+@pytest.mark.parametrize("mode", ["shift", "stride2"])
 @pytest.mark.parametrize("shape", [
     # (B, H, W, cin, cout, k, stride, pad) — odd sizes + stride 2 + k7 + 1x1
     (2, 16, 20, 5, 7, 3, 1, 1),
@@ -21,7 +22,7 @@ import piv_liteflownet_tpu.ops.nn as nn
     (1, 12, 12, 3, 4, 7, 1, 3),
     (2, 10, 10, 4, 6, 1, 1, 0),
 ])
-def test_shift_wgrad_matches_autodiff(shape):
+def test_shift_wgrad_matches_autodiff(shape, mode):
     b, h, w, cin, cout, k, s, p = shape
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((b, h, w, cin), np.float32))
@@ -36,7 +37,7 @@ def test_shift_wgrad_matches_autodiff(shape):
     prev = nn.set_conv_wgrad("xla")
     try:
         ref = grads()
-        nn.set_conv_wgrad("shift")
+        nn.set_conv_wgrad(mode)
         got = grads()
     finally:
         nn.set_conv_wgrad(prev)

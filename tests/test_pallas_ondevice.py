@@ -98,7 +98,15 @@ def test_planar_feat_warp_on_device(dtype):
 def test_warp_vjp_tent_transpose_on_device(dtype):
     """Tent-transpose warp img-grad (ops/pallas_warp_vjp.py) vs the XLA
     scatter on real Mosaic lowering (r5; the DMA-alignment and dynamic-rotate
-    rules only surface on device)."""
+    rules only surface on device).
+
+    The flow is cast to ``dtype`` like the model's (a bf16 train step's flow
+    IS bf16 at the warp; ``backwarp_tvjp`` routes mixed dtypes to the
+    scatter). In bf16 the two programs round differently — the scatter
+    multiplies bf16-cast tap weights while the kernel keeps its weights in
+    f32 (strictly more accurate) — so bf16 additionally checks both against
+    the f32 ground truth: the kernel must be no LESS accurate than the
+    scatter it replaces."""
     from piv_liteflownet_tpu.ops.pallas_warp_vjp import (
         warp_img_grad_bounds_ok,
         warp_img_grad_pallas,
@@ -115,18 +123,26 @@ def test_warp_vjp_tent_transpose_on_device(dtype):
     u = 3.0 + 1.2 * jnp.sin(xx / 60.0) + 0.4 * jnp.cos(yy / 35.0)
     v = -2.0 + 0.8 * jnp.cos(xx / 50.0) + 0.5 * jnp.sin(yy / 25.0)
     flow = jnp.broadcast_to(jnp.stack([u + 0 * yy, v + 0 * xx], -1),
-                            (b, h, w, 2))
+                            (b, h, w, 2)).astype(dtype)
     assert bool(warp_img_grad_bounds_ok(flow))
 
-    def pull(a):
-        _, vjp = jax.vjp(lambda x: backwarp(x, flow), a)
-        (g,) = vjp(gout)
+    def pull(a, f):
+        _, vjp = jax.vjp(lambda x: backwarp(x, f), a)
+        (g,) = vjp(gout.astype(a.dtype))
         return g
 
-    ref = np.asarray(pull(img).astype(jnp.float32))
+    ref = np.asarray(pull(img, flow).astype(jnp.float32))
     got = np.asarray(warp_img_grad_pallas(gout, flow).astype(jnp.float32))
-    tol = 5e-5 if dtype == jnp.float32 else 3e-2
-    np.testing.assert_allclose(got, ref, atol=tol)
+    if dtype == jnp.float32:
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+    else:
+        truth = np.asarray(pull(img.astype(jnp.float32),
+                                flow.astype(jnp.float32)))
+        err_kernel = np.abs(got - truth).max()
+        err_scatter = np.abs(ref - truth).max()
+        assert err_kernel <= err_scatter * 1.05 + 1e-6, (
+            f"kernel err {err_kernel} > scatter err {err_scatter}")
+        np.testing.assert_allclose(got, ref, atol=6e-2)
 
 
 @requires_tpu

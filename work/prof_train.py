@@ -27,10 +27,16 @@ from piv_liteflownet_tpu.training.optim import make_optimizer
 SIZE, BATCH, N = 256, 8, 30
 model = piv_liteflownet(version=1)
 cfg = model.cfg
-if os.environ.get("PIV_WARP_VJP"):  # r5: tent-transpose warp VJP A/B
+if os.environ.get("PIV_WARP_VJP") or os.environ.get("PIV_NETC_JOINT"):
+    # r5 A/Bs: tent-transpose warp VJP; joint 2B-batch NetC in the GRAD
+    # program (halves the count of NetC's strided wgrads)
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, warp_vjp=os.environ["PIV_WARP_VJP"])
+    cfg = dataclasses.replace(
+        cfg,
+        warp_vjp=os.environ.get("PIV_WARP_VJP", cfg.warp_vjp),
+        netc_joint=os.environ.get("PIV_NETC_JOINT", cfg.netc_joint),
+    )
 tx, _ = make_optimizer(model.params, cfg.lowest_level)
 pipe = Pipeline(
     crop_size=(SIZE, SIZE), translate=16, scale_range=(0.95, 1.45),
