@@ -41,11 +41,25 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
+#: exact factor-2 downsamples as avg_pool ("pool") or the interp matmuls
+#: ("einsum", default pending the in-model A/B). For out = in/2 the torch
+#: half-pixel source is src = 2d + 0.5, i.e. weights (0.5, 0.5) on
+#: (2d, 2d+1) — identical math (bit-exact vs torch, test_ops) — and
+#: reduce_window avoids the layout transpose XLA inserts for the
+#: W-contraction einsum (c is the minor dim; the r3 trace attributed
+#: 20-23%% of forward time to such copies). Probe knob PIV_RESIZE_HALF.
+_RESIZE_HALF = __import__("os").environ.get("PIV_RESIZE_HALF", "einsum")
+
+
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int, precision=None) -> jax.Array:
     """Resize NHWC ``x`` to (out_h, out_w), torch align_corners=False bilinear."""
     b, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
+    if (h, w) == (2 * out_h, 2 * out_w) and _RESIZE_HALF == "pool":
+        # f32 accumulation like the MXU matmuls (bf16 reduce_window would
+        # accumulate in bf16); the convert fuses into the reduce_window.
+        return avg_pool(x.astype(jnp.float32), 2).astype(x.dtype)
     dtype = x.dtype
     mh = jnp.asarray(_interp_matrix(h, out_h), dtype)
     mw = jnp.asarray(_interp_matrix(w, out_w), dtype)

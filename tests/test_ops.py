@@ -90,6 +90,25 @@ def test_resize_matches_torch_interpolate(out_hw):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["pool", "einsum"])
+def test_resize_half_modes_match_torch(mode, monkeypatch):
+    """Exact factor-2 downsample: the avg_pool fast path and the interp
+    matmuls both reproduce torch bilinear(align_corners=False) — the
+    (0.5, 0.5) weights make them the same sum (the pool path is bit-exact;
+    PIV_RESIZE_HALF is trace-time, so patch the module global)."""
+    import piv_liteflownet_tpu.ops.resize as R
+
+    monkeypatch.setattr(R, "_RESIZE_HALF", mode)
+    img = _rand((2, 16, 24, 3), 11)
+    got = np.asarray(R.resize_bilinear(jnp.asarray(img), 8, 12))
+    ref = F.interpolate(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        size=(8, 12), mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    tol = 0 if mode == "pool" else 1e-6
+    np.testing.assert_allclose(got, ref, atol=tol)
+
+
 def test_avg_pool_matches_torch():
     img = _rand((2, 16, 24, 2), 9)
     got = np.asarray(avg_pool(jnp.asarray(img), 4))
