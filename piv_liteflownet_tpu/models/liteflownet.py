@@ -167,10 +167,13 @@ class ModelConfig:
     # expressed as a bounded gather over the adjoint — when its exactness
     # bounds hold on the flow (lax.cond fallback to the XLA scatter beyond;
     # exact either way). Forward values identical; eval unaffected (no grad
-    # taken). The XLA scatter the kernel replaces bills 21.4 ms/step of the
-    # 150.8 ms r4 train step (work/warpbwd.log). Default "gather" until the
-    # wall A/B adjudicates (work/r5_wall.log).
-    warp_vjp: str = "gather"
+    # taken). The XLA scatter the kernel replaces is a 28.6 ms/step wall of
+    # the 150.9 ms r4 train step (work/r5_wall.log); the r5 in-model
+    # adjudication ships "tent" at ry=2 as the default (145.1 ms/step =
+    # 55.1 samples/s, BASELINE.md round-5 table). On CPU/non-TPU backends
+    # the routing falls back to the scatter, so the default is
+    # backend-neutral for the test suite.
+    warp_vjp: str = "tent"
     # perf-debug ablations (subsets of {"warp","corr","upcorr","S","R",...});
     # they change semantics — ONLY for attribution profiling, never accuracy.
     ablate: Tuple[str, ...] = ()

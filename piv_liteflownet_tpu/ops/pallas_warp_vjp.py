@@ -281,9 +281,11 @@ def make_backwarp_tvjp(ry: int = 4, vlim: int = 8, tile_h: int = 16,
     return bw
 
 
-#: default instance. Tier ry=4 covers the training regime's per-tile
-#: residuals; steep flows take the exact scatter fallback. PIV_TVJP_RY is a
-#: trace-time probe knob (smaller ry = (2*ry+3)^2 taps of VPU work vs more
-#: guard fallbacks; the A/B record lives in work/r5_train_tentvjp*.log).
+#: default instance. The r5 in-model adjudication (BASELINE.md round-5
+#: table; work/r5_train_tentvjp*.log) is monotone in radius — 121/81/49
+#: taps = 154.7/149.2/145.1 ms/step — so the kernel is VPU-work-bound and
+#: ry=2 ships as the default: it covers the training regime's per-tile
+#: residuals while steep flows take the exact scatter fallback (the guard
+#: makes every radius exact-always). PIV_TVJP_RY stays as the probe knob.
 backwarp_tvjp = make_backwarp_tvjp(
-    ry=int(__import__("os").environ.get("PIV_TVJP_RY", "4")))
+    ry=int(__import__("os").environ.get("PIV_TVJP_RY", "2")))
